@@ -1,0 +1,116 @@
+"""Shi-Tomasi best-patch detection over a region (XLA conv form).
+
+Replaces find_best_patch_inside_region (reference monoslam.cpp:1070-1205):
+central-difference gradients, 11x11 box sums of (gx^2, gy^2, gx*gy), smallest
+eigenvalue of the 2x2 structure tensor, argmax over the search region with
+first-in-scan-order tie-break (strict '>' comparison, v outer / u inner).
+
+Exactness: the reference accumulates doubles whose values are exact multiples
+of 0.25 (gradients are integer differences / 2). We accumulate 4*gx*4*gy
+integer products in f32 convolutions (max |sum| = 121*254^2 < 2^23, exact)
+and divide by 4 in f64 at the end, giving bit-identical eigenvalue inputs.
+
+Region semantics: the whole-image maps are computed once; the region
+[ustart, ufinish) x [vstart, vfinish) (after the reference's border clamping)
+is applied as a mask, so any number of candidate regions reuse one launch.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def _conv_valid(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    out = lax.conv_general_dilated(
+        img[None, None],
+        kernel[None, None],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )
+    return out[0, 0]
+
+
+def structure_tensor_maps(image_u8: jnp.ndarray, boxsize: int):
+    """Box-summed gradient products per patch centre.
+
+    Returns (TSgxsq, TSgysq, TSgxgy) as [H,W] f64 maps (centre-indexed; only
+    centres with full gradient support + box support are meaningful) and the
+    validity mask for centres where the reference could evaluate them.
+    """
+    H, W = image_u8.shape
+    half = (boxsize - 1) // 2
+    img = image_u8.astype(jnp.float32)
+
+    # doubled gradients: 2*gx(r,c) = img[r,c+1]-img[r,c-1] (integers)
+    gx2 = img[:, 2:] - img[:, :-2]          # [H, W-2] at columns 1..W-2
+    gy2 = img[2:, :] - img[:-2, :]          # [H-2, W] at rows 1..H-2
+    # align both to the common interior grid (rows 1..H-2, cols 1..W-2)
+    gx2i = gx2[1:-1, :]                     # [H-2, W-2]
+    gy2i = gy2[:, 1:-1]                     # [H-2, W-2]
+
+    ones = jnp.ones((boxsize, boxsize), jnp.float32)
+    sxx4 = _conv_valid(gx2i * gx2i, ones)   # 4*sum(gx^2), exact ints in f32
+    syy4 = _conv_valid(gy2i * gy2i, ones)
+    sxy4 = _conv_valid(gx2i * gy2i, ones)
+
+    # centre of an 11x11 box over the interior grid: interior index + half,
+    # interior grid itself starts at image index 1
+    off = 1 + half
+    pad = lambda m: jnp.pad(
+        m.astype(jnp.float64) * 0.25,
+        ((off, H - m.shape[0] - off), (off, W - m.shape[1] - off)),
+    )
+    uu = jnp.arange(W)[None, :]
+    vv = jnp.arange(H)[:, None]
+    valid = (uu >= off) & (uu <= W - 1 - off) & (vv >= off) & (vv <= H - 1 - off)
+    return pad(sxx4), pad(syy4), pad(sxy4), valid
+
+
+def min_eigenvalue_map(sxx: jnp.ndarray, syy: jnp.ndarray, sxy: jnp.ndarray) -> jnp.ndarray:
+    """Smaller eigenvalue of [[A,B],[B,C]] (monoslam.cpp:1198-1205)."""
+    A, B, C = sxx, sxy, syy
+    BB = jnp.sqrt((A + C) * (A + C) - 4.0 * (A * C - B * B))
+    return (A + C - BB) / 2.0
+
+
+def clamp_region(ustart, vstart, ufinish, vfinish, width, height, boxsize):
+    """Border clamping as in monoslam.cpp:1081-1091 (works on traced ints)."""
+    half = (boxsize - 1) // 2
+    ustart = jnp.maximum(ustart, half + 1)
+    ufinish = jnp.minimum(ufinish, width - half - 1)
+    vstart = jnp.maximum(vstart, half + 1)
+    vfinish = jnp.minimum(vfinish, height - half - 1)
+    return ustart, vstart, ufinish, vfinish
+
+
+def find_best_patch_in_region(
+    ev_map: jnp.ndarray,   # [H,W] min-eigenvalue map (f64)
+    valid: jnp.ndarray,    # [H,W]
+    ustart, vstart, ufinish, vfinish,  # traced ints, already clamped
+):
+    """Masked argmax with first-in-scan-order tie-break (v outer, u inner).
+
+    Returns (ubest, vbest, evbest). Matches the reference: strict '>' with
+    evbest initialised to 0 — if no candidate exceeds 0 the result is
+    (ustart, vstart, 0) (the reference leaves u/v uninitialised there; we
+    define them deterministically). Empty regions return evbest = 0
+    (monoslam.cpp:1093-1099).
+    """
+    H, W = ev_map.shape
+    uu = jnp.arange(W, dtype=jnp.int32)[None, :]
+    vv = jnp.arange(H, dtype=jnp.int32)[:, None]
+    region = (uu >= ustart) & (uu < ufinish) & (vv >= vstart) & (vv < vfinish)
+    mask = region & valid
+    vals = jnp.where(mask, ev_map, -jnp.inf)
+    best = vals.max()
+    key = vv.astype(jnp.int64) * jnp.int64(W) + uu.astype(jnp.int64)  # scan order (v, u)
+    tie = (vals == best) & mask
+    kbest = jnp.where(tie, key, jnp.iinfo(jnp.int64).max).min()
+    found = best > 0.0
+    ubest = jnp.where(found, (kbest % W).astype(jnp.int32), ustart.astype(jnp.int32))
+    vbest = jnp.where(found, (kbest // W).astype(jnp.int32), vstart.astype(jnp.int32))
+    evbest = jnp.where(found, best, 0.0)
+    return ubest, vbest, evbest

@@ -1,0 +1,137 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scenelib2_tpu.config import Params
+from scenelib2_tpu.core import camera as C
+from scenelib2_tpu.core import models as FM
+from scenelib2_tpu.core.quaternion import quat_to_rotation_matrix
+
+CAM = C.CameraParams.from_params(Params())
+
+
+def sample_xp(rng, near_unit=True):
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    if not near_unit:
+        q *= 1.0001
+    r = rng.normal(size=3) * 0.3
+    return jnp.asarray(np.concatenate([r, q]))
+
+
+def point_in_front(rng, xp):
+    # pick a world point ~2m along the camera's +z axis
+    RWR = np.asarray(quat_to_rotation_matrix(xp[3:7]))
+    return jnp.asarray(np.asarray(xp[:3]) + RWR @ np.array([0.1, -0.05, 2.0]))
+
+
+def test_full_zeroedyi_value(rng):
+    xp = sample_xp(rng)
+    y = point_in_front(rng, xp)
+    zeroed, _, RRW = FM.full_zeroedyi(y, xp)
+    np.testing.assert_allclose(np.asarray(zeroed), [0.1, -0.05, 2.0], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(RRW) @ np.asarray(RRW).T, np.eye(3), atol=1e-12)
+
+
+def test_full_zeroedyi_jacobians_vs_autodiff(rng):
+    xp = sample_xp(rng)
+    y = point_in_front(rng, xp)
+    _, d_by_dxp, d_by_dyi = FM.full_zeroedyi(y, xp)
+    J_y = jax.jacfwd(lambda yy: FM.full_zeroedyi(yy, xp)[0])(y)
+    np.testing.assert_allclose(d_by_dyi, J_y, atol=1e-10)
+    # The q-part of d_by_dxp uses the reference's homogeneous-formula blocks,
+    # exact only at |q|=1; with unit q it matches autodiff through
+    # (unnormalised-matrix) rotation. Check r-part exactly + q-part at unit q.
+    J_xp = jax.jacfwd(lambda p: FM.full_zeroedyi(y, p)[0])(xp)
+    np.testing.assert_allclose(d_by_dxp[:, 0:3], J_xp[:, 0:3], atol=1e-10)
+
+
+def test_full_predict_measurement_chain(rng):
+    xp = sample_xp(rng)
+    y = point_in_front(rng, xp)
+    hi, dh_dxp, dh_dyi, zeroed = FM.full_predict_measurement(CAM, y, xp)
+    np.testing.assert_allclose(hi, C.project(CAM, zeroed), rtol=1e-14)
+    J_y = jax.jacfwd(lambda yy: FM.full_predict_measurement(CAM, yy, xp)[0])(y)
+    np.testing.assert_allclose(dh_dyi, J_y, atol=1e-8)
+
+
+def test_visibility_flags():
+    xp = jnp.array([0.0, 0, 0, 1.0, 0, 0, 0])
+    y = jnp.array([0.0, 0.0, 2.0])
+    hi = C.project(CAM, FM.full_zeroedyi(y, xp)[0])
+    flag = FM.full_visibility_test(CAM, xp, y, xp, hi)
+    assert int(flag) == 0
+    # behind camera
+    yb = jnp.array([0.0, 0.0, -2.0])
+    hib = jnp.array([100.0, 100.0])
+    flag_b = int(FM.full_visibility_test(CAM, xp, yb, xp, hib))
+    assert flag_b & FM.BEHIND_CAMERA_FAIL
+    # border
+    flag_border = int(FM.full_visibility_test(CAM, xp, y, xp, jnp.array([5.0, 125.0])))
+    assert flag_border & FM.LEFT_RIGHT_FAIL
+    # distance: viewed from twice closer -> ratio 0.5 >= 1/2 boundary ok; 2.5x fails
+    xp_far = jnp.array([0.0, 0, -3.0, 1.0, 0, 0, 0])  # distance 5 vs orig 2
+    flag_d = int(FM.full_visibility_test(CAM, xp_far, y, xp, C.project(CAM, FM.full_zeroedyi(y, xp_far)[0])))
+    assert flag_d & FM.DISTANCE_FAIL
+    # angle: orbit ~90 degrees around the point
+    xp_side = jnp.array([2.0, 0, 2.0, np.cos(np.pi / 4), 0, -np.sin(np.pi / 4), 0])
+    zeroed_side = FM.full_zeroedyi(y, xp_side)[0]
+    flag_a = int(
+        FM.full_visibility_test(CAM, xp_side, y, xp, C.project(CAM, zeroed_side))
+    )
+    assert flag_a & FM.ANGLE_FAIL
+
+
+def test_innovation_covariance_formula(rng):
+    Pxx = rng.normal(size=(13, 13))
+    Pxx = jnp.asarray(Pxx @ Pxx.T)
+    Pxy = jnp.asarray(rng.normal(size=(13, 3)))
+    Pyy = rng.normal(size=(3, 3))
+    Pyy = jnp.asarray(Pyy @ Pyy.T)
+    Hx = jnp.asarray(rng.normal(size=(2, 13)))
+    Hy = jnp.asarray(rng.normal(size=(2, 3)))
+    R = jnp.eye(2) * 1.5
+    S = FM.innovation_covariance(Pxx, Pxy, Pyy, Hx, Hy, R)
+    expected = Hx @ Pxx @ Hx.T + Hx @ Pxy @ Hy.T + (Hx @ Pxy @ Hy.T).T + Hy @ Pyy @ Hy.T + R
+    np.testing.assert_allclose(S, expected, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(S), np.asarray(S).T, atol=1e-12)
+
+
+def test_part_init_ray_geometry(rng):
+    xp = sample_xp(rng)
+    h = jnp.array([150.0, 110.0])
+    ypi, dxp, dhi = FM.part_init_ray(CAM, h, xp)
+    np.testing.assert_allclose(ypi[0:3], xp[0:3], atol=1e-14)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(ypi[3:6])), 1.0, rtol=1e-12)
+    assert dxp.shape == (6, 7) and dhi.shape == (6, 2)
+    # ray direction: rotating cam-frame unproject into world
+    hLR = np.asarray(C.unproject(CAM, h))
+    RWR = np.asarray(quat_to_rotation_matrix(xp[3:7]))
+    np.testing.assert_allclose(np.asarray(ypi[3:6]), RWR @ (hLR / np.linalg.norm(hLR)), atol=1e-12)
+
+
+def test_part_predict_measurement_consistency(rng):
+    """Projecting the ray at its true depth must land where the point projects."""
+    xp = sample_xp(rng)
+    h0 = jnp.array([170.0, 120.0])
+    ypi, _, _ = FM.part_init_ray(CAM, h0, xp)
+    lam = jnp.array(2.0)
+    hpi, dh_dxp, dh_dyi = FM.part_predict_measurement(CAM, ypi, xp, lam)
+    # equivalent full feature at y = r + lam*hhat seen from same pose
+    yfull = ypi[0:3] + lam * ypi[3:6]
+    hi_full, _, _, _ = FM.full_predict_measurement(CAM, yfull, xp)
+    np.testing.assert_allclose(hpi, hi_full, atol=1e-9)
+    # at lam where it was initialised, reprojects to h0
+    np.testing.assert_allclose(hpi, h0, atol=1e-6)
+    J_auto = jax.jacfwd(lambda yy: FM.part_predict_measurement(CAM, yy, xp, lam)[0])(ypi)
+    np.testing.assert_allclose(dh_dyi, J_auto, atol=1e-8)
+
+
+def test_part_convert_to_full(rng):
+    y = jnp.asarray(rng.normal(size=6))
+    lam = jnp.array(1.7)
+    yfi, dyp, dlam = FM.part_convert_to_full(y, lam)
+    np.testing.assert_allclose(yfi, y[0:3] + 1.7 * y[3:6], rtol=1e-14)
+    J_auto = jax.jacfwd(lambda yy: FM.part_convert_to_full(yy, lam)[0])(y)
+    np.testing.assert_allclose(dyp, J_auto, atol=1e-12)
+    np.testing.assert_allclose(dlam[:, 0], y[3:6], rtol=1e-14)
