@@ -1,11 +1,208 @@
-"""MonoSLAM facade (host-side driver around the jitted per-frame step).
+"""MonoSLAM facade: the reference's public API around the jitted step.
 
-Placeholder — filled in as the runtime layer lands.
+Mirrors the MonoSLAM class surface (reference monoslam.h:76-156):
+  Init (constructor)        — config load, camera/motion/feature models,
+                              known features, srand48(0)
+  GoOneStep                 — one frame (jitted; state stays on device)
+  InitialiseAutoFeature     — manual auto-init trigger (no speed/count gates)
+  AddNewKnownFeature        — add a feature with known position, zero cov
+  mark/toggle/delete_feature, SavePatch, print_robot_state
+  trajectory_store_         — ring of the last 1000 camera positions
+
+Plus capabilities the reference lacks but SURVEY.md flags as required
+generalisations: whole-state checkpoint save/load and a high-throughput
+run_sequence (lax.scan over pre-staged frames, zero host round-trips).
 """
 
 from __future__ import annotations
 
+import json
+import os
+from typing import Sequence
 
-class MonoSLAM:  # pragma: no cover - implemented with the runtime layer
-    def __init__(self, *a, **kw):
-        raise NotImplementedError("runtime layer under construction")
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scenelib2_tpu.config import Params, SlamConfig, load_config
+from scenelib2_tpu.core.camera import CameraParams
+from scenelib2_tpu.io.pgm import read_pgm, write_pgm
+from scenelib2_tpu.runtime import state as st
+from scenelib2_tpu.runtime import step as step_mod
+from scenelib2_tpu.runtime.state import SlamState
+
+
+class MonoSLAM:
+    def __init__(self, config: str | SlamConfig, seed: int = 0, **param_overrides):
+        if isinstance(config, str):
+            config = load_config(config, **param_overrides)
+        elif param_overrides:
+            import dataclasses
+
+            config = dataclasses.replace(
+                config, params=dataclasses.replace(config.params, **param_overrides)
+            )
+        self.config = config
+        self.params: Params = config.params
+        self.cam = CameraParams.from_params(self.params)
+        self.state: SlamState = st.init_from_config(config, seed=seed)
+        self._step = jax.jit(step_mod.make_step(self.params))
+        self._scan = None
+        self.trajectory_store: list[np.ndarray] = []
+        self.marked_feature_label = -1
+        self.last_output: step_mod.StepOutputs | None = None
+
+    # ------------------------------------------------------------------ API
+
+    def go_one_step(self, frame: np.ndarray, save_trajectory: bool = True,
+                    enable_mapping: bool = True) -> bool:
+        """One SLAM step (reference GoOneStep, monoslam.cpp:108-180)."""
+        frame = jnp.asarray(frame, jnp.uint8)
+        self.state, out = self._step(self.state, frame, enable_mapping)
+        self.last_output = out
+        if save_trajectory:
+            self.trajectory_store.append(np.asarray(out.r))
+            if len(self.trajectory_store) > 1000:
+                self.trajectory_store.pop(0)
+        return True
+
+    # reference-style aliases
+    GoOneStep = go_one_step
+
+    def run_sequence(self, frames: np.ndarray, enable_mapping: bool = True,
+                     chunk: int = 0):
+        """Offline fast path: lax.scan over a [T,H,W] frame stack.
+
+        Returns StepOutputs with a leading time axis. State stays on device
+        for the whole run; this is the 500+ fps benchmark path.
+        """
+        frames = jnp.asarray(frames, jnp.uint8)
+        if self._scan is None:
+            step = step_mod.make_step(self.params)
+            self._scan = jax.jit(
+                lambda s, f, em: jax.lax.scan(lambda s_, fr: step(s_, fr, em), s, f)
+            )
+        self.state, outs = self._scan(self.state, frames, jnp.asarray(enable_mapping))
+        self.last_output = jax.tree_util.tree_map(lambda a: a[-1], outs)
+        rs = np.asarray(outs.r)
+        self.trajectory_store.extend(list(rs))
+        self.trajectory_store = self.trajectory_store[-1000:]
+        return outs
+
+    def initialise_auto_feature(self, frame: np.ndarray) -> None:
+        """Manual auto-init (reference InitialiseAutoFeature,
+        monoslam.cpp:1526-1532): runs the region proposal + Shi-Tomasi + ray
+        insertion with no speed/visibility gates."""
+        if not hasattr(self, "_init_fn"):
+            params, cam = self.params, self.cam
+            lam0 = jnp.asarray(st.lambda_grid(params))
+
+            def init_only(state, frame_u8):
+                state, did = step_mod._auto_initialise(
+                    state, frame_u8, cam, params, lam0, jnp.asarray(True)
+                )
+                return state, did
+
+            self._init_fn = jax.jit(init_only)
+        self.state, did = self._init_fn(self.state, jnp.asarray(frame, jnp.uint8))
+        return bool(did)
+
+    InitialiseAutoFeature = initialise_auto_feature
+
+    def add_new_known_feature(self, y, xp_org, patch) -> None:
+        """Reference AddNewKnownFeature (monoslam.cpp:1278-1291)."""
+        if isinstance(patch, str):
+            patch = read_pgm(patch)
+        self.state = st.add_known_feature(self.state, y, xp_org, patch)
+
+    AddNewKnownFeature = add_new_known_feature
+
+    # ------------------------------------------------- feature bookkeeping
+
+    def _slot_of_label(self, label: int) -> int | None:
+        labels = np.asarray(self.state.label)
+        active = np.asarray(self.state.active)
+        hits = np.nonzero(active & (labels == label))[0]
+        return int(hits[0]) if len(hits) else None
+
+    def mark_feature_by_lab(self, label: int) -> None:
+        if label == -1 or self._slot_of_label(label) is not None:
+            self.marked_feature_label = label
+
+    def delete_feature(self, label: int | None = None) -> bool:
+        """Delete the marked (or given-label) feature (monoslam.cpp:770-812)."""
+        if label is None:
+            label = self.marked_feature_label
+        slot = self._slot_of_label(label)
+        if slot is None:
+            return False
+        kill = np.zeros(self.params.max_features, bool)
+        kill[slot] = True
+        self.state = st.delete_mask(self.state, jnp.asarray(kill))
+        self.marked_feature_label = -1
+        return True
+
+    def save_patch(self, path: str = "patch.pgm") -> bool:
+        """Reference SavePatch (monoslam.cpp:1551-1572)."""
+        slot = self._slot_of_label(self.marked_feature_label)
+        if slot is None:
+            return False
+        write_pgm(path, np.asarray(self.state.patches[slot]))
+        return True
+
+    SavePatch = save_patch
+
+    # ------------------------------------------------------- introspection
+
+    @property
+    def xv(self) -> np.ndarray:
+        return np.asarray(self.state.x[:13])
+
+    @property
+    def pxx(self) -> np.ndarray:
+        return np.asarray(self.state.P[:13, :13])
+
+    def print_robot_state(self) -> str:
+        s = f"[Robot state]\n{self.xv}\n[Robot covariance]\n{self.pxx}"
+        print(s)
+        return s
+
+    def feature_table(self) -> list[dict]:
+        s = self.state
+        out = []
+        for i in range(self.params.max_features):
+            if not bool(s.active[i]):
+                continue
+            off = st.slot_offset(i)
+            out.append(
+                dict(
+                    slot=i,
+                    label=int(s.label[i]),
+                    fully_initialised=bool(s.full[i]),
+                    y=np.asarray(s.x[off : off + (3 if bool(s.full[i]) else 6)]),
+                    attempts=int(s.attempts[i]),
+                    successes=int(s.successes[i]),
+                )
+            )
+        return out
+
+    # --------------------------------------------------------- checkpoints
+
+    def save_checkpoint(self, path: str) -> None:
+        """Whole-SLAM-state checkpoint (generalises the reference's
+        cfg-only init path; SURVEY.md §5 checkpoint/resume)."""
+        arrays = {f"state_{k}": np.asarray(v) for k, v in self.state._asdict().items()}
+        np.savez_compressed(path, **arrays)
+        meta = dict(params=self.params.__dict__, marked=self.marked_feature_label)
+        with open(path + ".json", "w") as f:
+            json.dump(meta, f, default=float)
+
+    def load_checkpoint(self, path: str) -> None:
+        data = np.load(path if path.endswith(".npz") else path + ".npz")
+        fields = {k[len("state_"):]: jnp.asarray(v) for k, v in data.items()}
+        self.state = SlamState(**fields)
+
+    # --------------------------------------------------------------- misc
+
+    def trajectory(self) -> np.ndarray:
+        return np.asarray(self.trajectory_store)

@@ -1,0 +1,290 @@
+"""SlamState: fixed-capacity masked SoA state + covariance surgery.
+
+Replaces the reference's pointer-linked per-feature objects (feature.h:79-142,
+monoslam.h member lists) with one packed state vector and ONE dense joint
+covariance over fixed feature slots:
+
+  x[D], P[D,D] with D = 13 + 6*MAX_F.
+
+Each feature slot owns a fixed 6-wide stride (rays need 6 dims; 3D points use
+the first 3 and keep exact zeros in the rest — zero rows/cols of P are
+invariant under every EKF operation, so live-dim arithmetic equals the
+reference's packed layout). Feature insertion order is tracked via monotone
+labels so selection-order semantics survive slot reuse.
+
+Covariance surgery (all pure functions):
+  add_known   — Feature known ctor (feature.cpp:108-149): zero covariance
+  add_partial — Feature partial ctor (feature.cpp:45-104): rows from J_x P
+  convert     — convert_from_partially_to_fully_initialised
+                (feature.cpp:204-269): slot reparameterised through
+                dyfi_by_dypi / dyfi_by_dlambda
+  delete_mask — delete_feature (monoslam.cpp:770-812): rows/cols zeroed,
+                slot freed
+
+Note: the reference has a bookkeeping bug when converting a feature that is
+not last in the list (position offsets decremented by 6 instead of 3,
+feature.cpp:254); it never fires in real runs because at most one partial
+feature exists at a time and it is always last. The dense-slot layout has no
+positional offsets, so the behaviour here is the bug-free semantics.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+import jax
+
+from scenelib2_tpu.config import Params, SlamConfig
+from scenelib2_tpu.core import models
+from scenelib2_tpu.core.camera import CameraParams, measurement_noise
+from scenelib2_tpu.io.pgm import read_pgm
+from scenelib2_tpu.rng import srand48
+
+CAM_DIM = 13
+SLOT_DIM = 6
+
+
+def slot_offset(i):
+    return CAM_DIM + SLOT_DIM * i
+
+
+class SlamState(NamedTuple):
+    # filter state
+    x: jnp.ndarray          # [D] f64 packed state
+    P: jnp.ndarray          # [D,D] f64 joint covariance
+    # per-slot feature records
+    active: jnp.ndarray     # [MF] bool
+    full: jnp.ndarray       # [MF] bool (fully-initialised flag)
+    label: jnp.ndarray      # [MF] i32 insertion-order label (-1 free)
+    patches: jnp.ndarray    # [MF,B,B] u8 stored 11x11 patches
+    xp_org: jnp.ndarray     # [MF,7] camera position at acquisition
+    attempts: jnp.ndarray   # [MF] i32 attempted measurements
+    successes: jnp.ndarray  # [MF] i32 successful measurements
+    # partial-feature particle filter (per slot; only meaningful when !full)
+    lam: jnp.ndarray            # [MF,NP] f64 depth hypotheses
+    prob: jnp.ndarray           # [MF,NP] f64 particle probabilities
+    palive: jnp.ndarray         # [MF,NP] bool particle alive mask
+    match_attempts: jnp.ndarray  # [MF] i32 FeatureInitInfo::number_of_match_attempts_
+    # misc
+    rng: jnp.ndarray        # [] u64 drand48 state
+    next_label: jnp.ndarray  # [] i32
+    frame_no: jnp.ndarray   # [] i32
+
+    @property
+    def n_active(self):
+        return jnp.sum(self.active)
+
+
+def init_state(params: Params, xv0, pxx0, seed: int = 0) -> SlamState:
+    MF, NP, B = params.max_features, params.n_particles, params.boxsize
+    D = params.state_dim
+    x = jnp.zeros(D, jnp.float64).at[:CAM_DIM].set(jnp.asarray(xv0, jnp.float64))
+    P = jnp.zeros((D, D), jnp.float64).at[:CAM_DIM, :CAM_DIM].set(
+        jnp.asarray(pxx0, jnp.float64)
+    )
+    return SlamState(
+        x=x,
+        P=P,
+        active=jnp.zeros(MF, bool),
+        full=jnp.zeros(MF, bool),
+        label=jnp.full(MF, -1, jnp.int32),
+        patches=jnp.zeros((MF, B, B), jnp.uint8),
+        xp_org=jnp.zeros((MF, 7), jnp.float64),
+        attempts=jnp.zeros(MF, jnp.int32),
+        successes=jnp.zeros(MF, jnp.int32),
+        lam=jnp.zeros((MF, NP), jnp.float64),
+        prob=jnp.zeros((MF, NP), jnp.float64),
+        palive=jnp.zeros((MF, NP), bool),
+        match_attempts=jnp.zeros(MF, jnp.int32),
+        rng=jnp.uint64(srand48(seed)),
+        next_label=jnp.int32(0),
+        frame_no=jnp.int32(0),
+    )
+
+
+def lambda_grid(params: Params) -> np.ndarray:
+    """Initial particle depth grid, replicated with the reference's repeated
+    addition (monoslam.cpp:1223-1234: lambda += step in a loop, NOT min+i*step
+    — the accumulated rounding is part of the parity surface)."""
+    step = (1.0 / float(params.n_particles)) * (params.max_lambda - params.min_lambda)
+    vals = np.empty(params.n_particles, np.float64)
+    lam = params.min_lambda
+    for i in range(params.n_particles):
+        vals[i] = lam
+        lam += step
+    return vals
+
+
+def add_known_feature(state: SlamState, y, xp_org, patch_u8) -> SlamState:
+    """Known feature with zero covariance (host-side init path)."""
+    slot = int(np.argmin(np.asarray(state.active)))
+    assert not bool(state.active[slot]), "feature capacity exhausted"
+    off = slot_offset(slot)
+    x = state.x.at[off : off + 3].set(jnp.asarray(y, jnp.float64))
+    return state._replace(
+        x=x,
+        active=state.active.at[slot].set(True),
+        full=state.full.at[slot].set(True),
+        label=state.label.at[slot].set(state.next_label),
+        patches=state.patches.at[slot].set(jnp.asarray(patch_u8, jnp.uint8)),
+        xp_org=state.xp_org.at[slot].set(jnp.asarray(xp_org, jnp.float64)),
+        next_label=state.next_label + 1,
+    )
+
+
+def init_from_config(cfg: SlamConfig, seed: int = 0) -> SlamState:
+    state = init_state(cfg.params, cfg.xv0, cfg.pxx0, seed=seed)
+    for kf in cfg.known_features:
+        state = add_known_feature(state, kf.y, kf.xp_org, read_pgm(kf.patch_path))
+    return state
+
+
+def free_slot(state: SlamState):
+    """Index of the first free slot and whether one exists."""
+    any_free = ~jnp.all(state.active)
+    slot = jnp.argmin(state.active.astype(jnp.int32))
+    return slot, any_free
+
+
+def add_partial_feature(
+    state: SlamState,
+    cam: CameraParams,
+    h: jnp.ndarray,          # [2] measured image location (uu, vv as f64)
+    patch_u8: jnp.ndarray,   # [B,B]
+    lam0: jnp.ndarray,       # [NP] initial lambda grid
+    enable: jnp.ndarray,     # [] bool — masked no-op when False
+) -> SlamState:
+    """Partial (ray) feature insertion inside jit (feature.cpp:45-104).
+
+    New slot rows of P are J_x P[cam,:] with J_x = dypi_by_dxp dxp_by_dxv, and
+    the slot diagonal gets + dypi_by_dhi R dypi_by_dhi'.
+    """
+    slot, any_free = free_slot(state)
+    doit = enable & any_free
+    off = slot_offset(slot)
+    xp = state.x[:7]
+
+    ypi, dypi_by_dxp, dypi_by_dhi = models.part_init_ray(cam, h, xp)
+    R = measurement_noise(cam, h)
+    # J_x = dypi_by_dxp @ dxp_by_dxv: pad the 7 position-state cols to 13
+    Jx = jnp.pad(dypi_by_dxp, ((0, 0), (0, CAM_DIM - 7)))       # [6, 13]
+    new_rows = Jx @ state.P[:CAM_DIM, :]                        # [6, D]
+    pyy = new_rows[:, :CAM_DIM] @ Jx.T + dypi_by_dhi @ R @ dypi_by_dhi.T
+
+    P = state.P
+    P = lax.dynamic_update_slice(P, new_rows, (off, 0))
+    P = lax.dynamic_update_slice(P, new_rows.T, (0, off))
+    P = lax.dynamic_update_slice(P, pyy, (off, off))
+    x = lax.dynamic_update_slice(state.x, ypi, (off,))
+
+    NP = state.lam.shape[1]
+    uniform = jnp.full(NP, 1.0 / NP, jnp.float64)
+
+    def apply(s: SlamState) -> SlamState:
+        return s._replace(
+            x=x,
+            P=P,
+            active=s.active.at[slot].set(True),
+            full=s.full.at[slot].set(False),
+            label=s.label.at[slot].set(s.next_label),
+            patches=s.patches.at[slot].set(patch_u8.astype(jnp.uint8)),
+            xp_org=s.xp_org.at[slot].set(xp),
+            attempts=s.attempts.at[slot].set(0),
+            successes=s.successes.at[slot].set(0),
+            lam=s.lam.at[slot].set(lam0),
+            prob=s.prob.at[slot].set(uniform),
+            palive=s.palive.at[slot].set(True),
+            match_attempts=s.match_attempts.at[slot].set(0),
+            next_label=s.next_label + 1,
+        )
+
+    new_state = apply(state)
+    return jax.tree_util.tree_map(lambda a, b: jnp.where(doit, a, b), new_state, state)
+
+
+def delete_mask(state: SlamState, kill: jnp.ndarray) -> SlamState:
+    """Delete all slots where kill[i] (monoslam.cpp:770-812 semantics: the
+    feature's covariance rows/cols vanish; here they are zeroed and the slot
+    freed for reuse)."""
+    MF = kill.shape[0]
+    keep_dims = jnp.concatenate(
+        [jnp.ones(CAM_DIM, bool), jnp.repeat(~kill, SLOT_DIM)]
+    )
+    P = jnp.where(keep_dims[:, None] & keep_dims[None, :], state.P, 0.0)
+    x = jnp.where(keep_dims, state.x, 0.0)
+    return state._replace(
+        x=x,
+        P=P,
+        active=state.active & ~kill,
+        full=state.full & ~kill,
+        label=jnp.where(kill, -1, state.label),
+        attempts=jnp.where(kill, 0, state.attempts),
+        successes=jnp.where(kill, 0, state.successes),
+        palive=state.palive & ~kill[:, None],
+        match_attempts=jnp.where(kill, 0, state.match_attempts),
+    )
+
+
+def convert_feature(
+    state: SlamState,
+    slot: jnp.ndarray,        # [] i32
+    lam_mean: jnp.ndarray,    # [] f64
+    lam_cov: jnp.ndarray,     # [] f64
+    enable: jnp.ndarray,      # [] bool
+) -> SlamState:
+    """Ray -> 3D point conversion (feature.cpp:204-269) on the dense P.
+
+    P rows for the slot become T P[slot6,:] with T = dyfi_by_dypi, the slot
+    diagonal becomes T Pyy T' + b Plambda b', and the now-unused 3 dims are
+    zeroed.
+    """
+    off = slot_offset(slot)
+    y6 = lax.dynamic_slice(state.x, (off,), (SLOT_DIM,))
+    yfi, T, b = models.part_convert_to_full(y6, lam_mean)
+
+    old_rows = lax.dynamic_slice(state.P, (off, 0), (SLOT_DIM, state.P.shape[1]))
+    old_pyy = lax.dynamic_slice(state.P, (off, off), (SLOT_DIM, SLOT_DIM))
+
+    new_rows3 = T @ old_rows                                  # [3, D]
+    new_pyy3 = T @ old_pyy @ T.T + b @ (lam_cov.reshape(1, 1)) @ b.T
+
+    rows6 = jnp.zeros((SLOT_DIM, state.P.shape[1]), state.P.dtype).at[:3].set(new_rows3)
+    P = lax.dynamic_update_slice(state.P, rows6, (off, 0))
+    P = lax.dynamic_update_slice(P, rows6.T, (0, off))
+    pyy6 = jnp.zeros((SLOT_DIM, SLOT_DIM), state.P.dtype).at[:3, :3].set(new_pyy3)
+    P = lax.dynamic_update_slice(P, pyy6, (off, off))
+
+    x6 = jnp.zeros(SLOT_DIM, state.x.dtype).at[:3].set(yfi)
+    x = lax.dynamic_update_slice(state.x, x6, (off,))
+
+    new_state = state._replace(
+        x=x,
+        P=P,
+        full=state.full.at[slot].set(True),
+        palive=state.palive.at[slot].set(False),
+    )
+    return jax.tree_util.tree_map(lambda a, bb: jnp.where(enable, a, bb), new_state, state)
+
+
+# -------------------- block accessors (for the step) --------------------
+
+
+def slot_pxy(P: jnp.ndarray, MF: int) -> jnp.ndarray:
+    """All camera-feature cross blocks: [MF, 13, 6]."""
+    return P[:CAM_DIM, CAM_DIM:].reshape(CAM_DIM, MF, SLOT_DIM).transpose(1, 0, 2)
+
+
+def slot_pyy(P: jnp.ndarray, MF: int) -> jnp.ndarray:
+    """All feature diagonal blocks: [MF, 6, 6]."""
+    feat = P[CAM_DIM:, CAM_DIM:].reshape(MF, SLOT_DIM, MF, SLOT_DIM)
+    idx = jnp.arange(MF)
+    return feat[idx, :, idx, :]
+
+
+def slot_states(x: jnp.ndarray, MF: int) -> jnp.ndarray:
+    """All slot state vectors: [MF, 6]."""
+    return x[CAM_DIM:].reshape(MF, SLOT_DIM)

@@ -1,0 +1,414 @@
+"""go_one_step: the whole per-frame MonoSLAM pipeline as ONE jitted graph.
+
+Stage order replicates MonoSLAM::GoOneStep (reference monoslam.cpp:108-180):
+
+  1. EKF predict                                 kalman.cpp:50-69
+  2. predict h,S for all features; visibility;   monoslam.cpp:187-308
+     select up to 10 by largest trace(S)
+  3. NSSD elliptical search for selected         monoslam.cpp:336-477
+  4. joint EKF update + quaternion 'normalise'   kalman.cpp:72-119, :616-637
+  5. delete consistently-failing features        monoslam.cpp:644-703
+  6. covariance symmetrization                   monoslam.cpp:145-150
+  7. if fast + mapping + map thin: auto-init     monoslam.cpp:823-1032
+     (future-pose region proposal, drand48 tries, Shi-Tomasi patch)
+  8. partial-feature particle matching, Bayes    monoslam.cpp:1299-1517
+     update, prune, ray->point conversion, sell-by-date deletion
+
+Everything is fixed-shape and masked: no recompiles across frames, no host
+round-trips. Data-dependent structure (feature counts, selected sets,
+ellipse extents, particle survival, drand48 consumption) is handled by masks
+and state selection so a whole sequence can run under one lax.scan.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from scenelib2_tpu.config import Params
+from scenelib2_tpu.core import ekf, models, motion
+from scenelib2_tpu.core.camera import CameraParams, measurement_noise
+from scenelib2_tpu.core.quaternion import quat_to_rotation_matrix
+from scenelib2_tpu.kernels import correlate, shi_tomasi
+from scenelib2_tpu.rng import drand48_many
+from scenelib2_tpu.runtime import state as st
+from scenelib2_tpu.runtime.state import CAM_DIM, SLOT_DIM, SlamState
+
+_NEG_INF = -jnp.inf
+
+
+class StepOutputs(NamedTuple):
+    r: jnp.ndarray            # [3] camera position (posterior)
+    q: jnp.ndarray            # [4] camera quaternion
+    xv: jnp.ndarray           # [13] full camera state
+    speed: jnp.ndarray        # [] m/s estimate used for the mapping gate
+    n_visible: jnp.ndarray    # [] i32
+    n_selected: jnp.ndarray   # [] i32
+    n_matched: jnp.ndarray    # [] i32
+    n_active: jnp.ndarray     # [] i32
+    n_partial: jnp.ndarray    # [] i32
+    did_init: jnp.ndarray     # [] bool — new partial feature created
+    did_convert: jnp.ndarray  # [] bool — some ray became a 3D point
+
+
+def make_step(params: Params, dtype=jnp.float64):
+    """Build the jitted per-frame step for a given static configuration."""
+    cam = CameraParams.from_params(params)
+    MF = params.max_features
+    NSEL = params.n_features_to_select
+    NP = params.n_particles
+    B = params.boxsize
+    half = (B - 1) // 2
+    W, H = params.cam_width, params.cam_height
+    lam0 = jnp.asarray(st.lambda_grid(params))
+    dxp_pad = ((0, 0), (0, CAM_DIM - 7))
+
+    def step(state: SlamState, frame_u8: jnp.ndarray, enable_mapping) -> tuple[SlamState, StepOutputs]:
+        enable_mapping = jnp.asarray(enable_mapping, bool)
+        prev_r = state.x[0:3]
+
+        # ---- 1. EKF predict -------------------------------------------------
+        u = jnp.zeros(3, dtype)
+        x, P = ekf.predict(state.x, state.P, u, params.delta_t, params.sd_a, params.sd_alpha)
+
+        # ---- 2. predict measurements + select -------------------------------
+        xp = x[:7]
+        ys3 = st.slot_states(x, MF)[:, :3]
+        pxy3 = st.slot_pxy(P, MF)[:, :, :3]
+        pyy3 = st.slot_pyy(P, MF)[:, :3, :3]
+        Pxx = P[:CAM_DIM, :CAM_DIM]
+
+        def per_slot(y, pxy_i, pyy_i, xp_org):
+            h, hx7, hy, zeroed = models.full_predict_measurement(cam, y, xp)
+            hx = jnp.pad(hx7, dxp_pad)
+            R = measurement_noise(cam, h)
+            S = models.innovation_covariance(Pxx, pxy_i, pyy_i, hx, hy, R)
+            vis = models.full_visibility_test(
+                cam, xp, y, xp_org, h,
+                params.image_search_boundary, params.max_length_ratio,
+                params.max_angle_difference,
+            )
+            return h, hx, hy, R, S, vis, zeroed[2]
+
+        h_all, hx_all, hy_all, R_all, S_all, vis_all, zz_all = jax.vmap(per_slot)(
+            ys3, pxy3, pyy3, state.xp_org
+        )
+
+        visible = state.active & state.full & (vis_all == 0)
+        n_visible = jnp.sum(visible).astype(jnp.int32)
+        score = jnp.where(visible, S_all[:, 0, 0] + S_all[:, 1, 1], _NEG_INF)
+        top_score, top_idx = lax.top_k(score, NSEL)
+        sel_mask = top_score > _NEG_INF
+        n_selected = jnp.sum(sel_mask).astype(jnp.int32)
+
+        # ---- 3. correlation maps (ONE launch for all slots) + search --------
+        corr_all, sd_patch_all, sd_image, cvalid = correlate.correlation_maps(
+            frame_u8, state.patches, B
+        )
+        sinv_sel = jax.vmap(ekf.inv2x2_via_chol)(S_all[top_idx])
+        search = correlate.elliptical_search_batch(
+            corr_all[top_idx], sd_patch_all[top_idx], sd_image, cvalid,
+            h_all[top_idx], sinv_sel, sel_mask,
+            params.no_sigma, params.corr_thresh2, params.corr_sigma_thresh,
+        )
+        succ = search.found                                   # [NSEL]
+        z_sel = jnp.stack([search.u, search.v], axis=1).astype(dtype)
+        nu_sel = jnp.where(succ[:, None], z_sel - h_all[top_idx], 0.0)
+        n_matched = jnp.sum(succ).astype(jnp.int32)
+
+        attempts = state.attempts.at[top_idx].add(sel_mask.astype(jnp.int32))
+        successes = state.successes.at[top_idx].add(succ.astype(jnp.int32))
+
+        # ---- 4. joint EKF update + normalise (masked) ------------------------
+        D = x.shape[0]
+        offs = CAM_DIM + SLOT_DIM * top_idx
+
+        def build_rows(hx, hy, off, ok):
+            rows = jnp.zeros((2, D), dtype)
+            rows = lax.dynamic_update_slice(
+                rows, jnp.where(ok, hy, 0.0), (jnp.zeros_like(off), off)
+            )
+            rows = rows.at[:, :CAM_DIM].set(jnp.where(ok, hx, 0.0))
+            return rows
+
+        H_rows = jax.vmap(build_rows)(hx_all[top_idx], hy_all[top_idx], offs, succ)
+        H_tot = H_rows.reshape(2 * NSEL, D)
+        R_blocks = jnp.where(succ[:, None, None], R_all[top_idx], jnp.eye(2, dtype=dtype))
+        R_tot = (
+            jnp.zeros((NSEL, 2, NSEL, 2), dtype)
+            .at[jnp.arange(NSEL), :, jnp.arange(NSEL), :]
+            .set(R_blocks)
+            .reshape(2 * NSEL, 2 * NSEL)
+        )
+        nu_tot = nu_sel.reshape(2 * NSEL)
+
+        x_upd, P_upd, _ = ekf.joint_update(x, P, H_tot, nu_tot, R_tot)
+        x_upd, P_upd = ekf.normalise(x_upd, P_upd)
+        any_succ = n_matched > 0
+        x = jnp.where(any_succ, x_upd, x)
+        P = jnp.where(any_succ, P_upd, P)
+
+        # ---- 5. delete bad features ------------------------------------------
+        ratio = jnp.where(
+            attempts > 0, successes.astype(dtype) / attempts.astype(dtype), 1.0
+        )
+        bad = (
+            state.active
+            & (attempts >= params.min_attempted_measurements)
+            & (ratio < params.successful_match_fraction)
+        )
+        mid_state = state._replace(
+            x=x, P=P, attempts=attempts, successes=successes
+        )
+        mid_state = st.delete_mask(mid_state, bad)
+
+        # ---- 6. symmetrize ----------------------------------------------------
+        mid_state = mid_state._replace(P=ekf.symmetrize(mid_state.P))
+        x, P = mid_state.x, mid_state.P
+
+        # ---- 7. speed gate + auto feature initialisation ----------------------
+        r_now = x[0:3]
+        vel = (r_now - prev_r) / params.delta_t
+        speed = jnp.sqrt(jnp.sum(vel * vel))
+        n_partial = jnp.sum(mid_state.active & ~mid_state.full).astype(jnp.int32)
+        want_init = (
+            (speed > params.min_speed_for_init)
+            & enable_mapping
+            & (n_visible < params.n_features_to_keep_visible)
+            & (n_partial < params.max_features_to_init_at_once)
+        )
+
+        mid_state, did_init = _auto_initialise(
+            mid_state, frame_u8, cam, params, lam0, want_init
+        )
+        x, P = mid_state.x, mid_state.P
+
+        # ---- 8. match partially-initialised features --------------------------
+        mid_state, did_convert = _match_partial_features(
+            mid_state, corr_all, sd_image, cvalid, cam, params, dtype
+        )
+
+        out = StepOutputs(
+            r=mid_state.x[0:3],
+            q=mid_state.x[3:7],
+            xv=mid_state.x[:CAM_DIM],
+            speed=speed,
+            n_visible=n_visible,
+            n_selected=n_selected,
+            n_matched=n_matched,
+            n_active=jnp.sum(mid_state.active).astype(jnp.int32),
+            n_partial=jnp.sum(mid_state.active & ~mid_state.full).astype(jnp.int32),
+            did_init=did_init,
+            did_convert=did_convert,
+        )
+        return mid_state._replace(frame_no=mid_state.frame_no + 1), out
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Stage 7: auto feature initialisation (monoslam.cpp:823-1032, 1211-1276)
+# ---------------------------------------------------------------------------
+
+
+def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Params,
+                     lam0, want_init):
+    MF = params.max_features
+    B = params.boxsize
+    half = (B - 1) // 2
+    W, H = params.cam_width, params.cam_height
+    RW, RH = params.init_search_width, params.init_search_height
+    x = state.x
+
+    # roll the motion model forward (monoslam.cpp:880-883)
+    def roll(xv, _):
+        fv, _F = motion.func_fv_and_dfv_by_dxv(xv, jnp.zeros(3, xv.dtype), params.delta_t)
+        return fv, None
+
+    xv_fut, _ = lax.scan(roll, x[:CAM_DIM], None, length=params.init_steps_to_predict)
+    yW = xv_fut[0:3] + quat_to_rotation_matrix(xv_fut[3:7]) @ jnp.array(
+        [0.0, 0.0, params.init_depth_hypothesis], x.dtype
+    )
+    xp = x[:7]
+    hi_fut, _, _, _ = models.full_predict_measurement(cam, yW, xp)
+    pm_u = W / 2.0 - hi_fut[0]
+    pm_v = H / 2.0 - hi_fut[1]
+    safe_us = jnp.trunc(-pm_u).astype(jnp.int32)
+    safe_vs = jnp.trunc(-pm_v).astype(jnp.int32)
+    safe_uf = jnp.trunc(W - pm_u).astype(jnp.int32)
+    safe_vf = jnp.trunc(H - pm_v).astype(jnp.int32)
+    lo = half + 1
+    safe_us = jnp.maximum(safe_us, lo)
+    safe_uf = jnp.minimum(safe_uf, W - half - 1)
+    safe_vs = jnp.maximum(safe_vs, lo)
+    safe_vf = jnp.minimum(safe_vf, H - half - 1)
+    room = (safe_uf - safe_us > RW) & (safe_vf - safe_vs > RH)
+
+    # current projections of fully-initialised features (monoslam.cpp:962-984)
+    ys3 = st.slot_states(x, MF)[:, :3]
+
+    def proj(y):
+        h, _, _, zeroed = models.full_predict_measurement(cam, y, xp)
+        return h, zeroed[2]
+
+    h_now, zz = jax.vmap(proj)(ys3)
+    occupied = state.active & state.full & (zz > 0)
+
+    # up to 5 random tries, 2 drand48 draws each (monoslam.cpp:986-1021)
+    tries = params.init_region_tries
+    states_r, vals_r = drand48_many(state.rng, 2 * tries)
+    sep = params.feature_separation_min
+
+    def try_region(i):
+        u_off = jnp.trunc((safe_uf - safe_us - RW).astype(jnp.float64) * vals_r[2 * i]).astype(jnp.int32)
+        v_off = jnp.trunc((safe_vf - safe_vs - RH).astype(jnp.float64) * vals_r[2 * i + 1]).astype(jnp.int32)
+        us = safe_us + u_off
+        vs = safe_vs + v_off
+        clash = jnp.any(
+            occupied
+            & (h_now[:, 0] >= us - sep)
+            & (h_now[:, 0] < us + RW + sep)
+            & (h_now[:, 1] >= vs - sep)
+            & (h_now[:, 1] < vs + RH + sep)
+        )
+        return us, vs, ~clash
+
+    us_all, vs_all, ok_all = jax.vmap(try_region)(jnp.arange(tries))
+    attempt_search = want_init & room
+    any_ok = jnp.any(ok_all) & attempt_search
+    first_ok = jnp.argmax(ok_all)
+    # drand48 stream consumption (0 / 2*(i+1) / 2*tries draws)
+    consumed = jnp.where(
+        attempt_search, jnp.where(jnp.any(ok_all), 2 * (first_ok + 1), 2 * tries), 0
+    )
+    rng_new = jnp.where(consumed == 0, state.rng, states_r[jnp.maximum(consumed - 1, 0)])
+
+    region_us = us_all[first_ok]
+    region_vs = vs_all[first_ok]
+
+    # Shi-Tomasi best patch inside the region (monoslam.cpp:1043-1205)
+    sxx, syy, sxy, stvalid = shi_tomasi.structure_tensor_maps(frame_u8, B)
+    ev_map = shi_tomasi.min_eigenvalue_map(sxx, syy, sxy)
+    ru, rv, ruf, rvf = shi_tomasi.clamp_region(
+        region_us, region_vs, region_us + RW, region_vs + RH, W, H, B
+    )
+    ubest, vbest, evbest = shi_tomasi.find_best_patch_in_region(ev_map, stvalid, ru, rv, ruf, rvf)
+
+    do_init = any_ok & (evbest > params.init_patch_score_thresh)
+    patch = lax.dynamic_slice(frame_u8, (vbest - half, ubest - half), (B, B))
+    z = jnp.stack([ubest, vbest]).astype(x.dtype)
+
+    state = state._replace(rng=rng_new)
+    state = st.add_partial_feature(state, cam, z, patch, lam0, do_init)
+    return state, do_init
+
+
+# ---------------------------------------------------------------------------
+# Stage 8: partial feature particle matching (monoslam.cpp:1299-1517)
+# ---------------------------------------------------------------------------
+
+
+def _match_partial_features(state: SlamState, corr_all, sd_image, cvalid,
+                            cam: CameraParams, params: Params, dtype):
+    MF = params.max_features
+    NP = params.n_particles
+    x, P = state.x, state.P
+    xp = x[:7]
+    Pxx = P[:CAM_DIM, :CAM_DIM]
+    pxy6 = st.slot_pxy(P, MF)            # [MF,13,6]
+    pyy6 = st.slot_pyy(P, MF)            # [MF,6,6]
+    ys6 = st.slot_states(x, MF)          # [MF,6]
+
+    is_partial = state.active & ~state.full
+    making = is_partial & (state.match_attempts != 0)
+    match_attempts = jnp.where(is_partial, state.match_attempts + 1, state.match_attempts)
+
+    # per-(slot, particle) predicted measurement + innovation covariance
+    def per_particle(y6, pxy_i, pyy_i, lam_p):
+        hpi, hx7, hy6 = models.part_predict_measurement(cam, y6, xp, lam_p)
+        hx = jnp.pad(hx7, ((0, 0), (0, CAM_DIM - 7)))
+        R = measurement_noise(cam, hpi)
+        S = models.innovation_covariance(Pxx, pxy_i, pyy_i, hx, hy6, R)
+        sinv = ekf.inv2x2_via_chol(S)
+        dets = S[0, 0] * S[1, 1] - S[1, 0] * S[0, 1]
+        return hpi, sinv, dets
+
+    def per_slot(y6, pxy_i, pyy_i, lam_row):
+        return jax.vmap(lambda l: per_particle(y6, pxy_i, pyy_i, l))(lam_row)
+
+    hpi, sinv, dets = jax.vmap(per_slot)(ys6, pxy6, pyy6, state.lam)
+    # hpi [MF,NP,2], sinv [MF,NP,2,2], dets [MF,NP]
+
+    def search_slot(corr_f, h_f, sinv_f, alive_f, making_f):
+        return correlate.multi_ellipse_search(
+            corr_f, sd_image, cvalid, h_f, sinv_f, alive_f & making_f,
+            params.no_sigma, params.corr_thresh2, params.corr_sigma_thresh,
+            params.low_sigma_penalty,
+        )
+
+    found, zu, zv = jax.vmap(search_slot)(corr_all, hpi, sinv, state.palive, making)
+    z = jnp.stack([zu, zv], axis=-1).astype(dtype)          # [MF,NP,2]
+
+    # Bayes update of particle probabilities (monoslam.cpp:1446-1493)
+    nu = z - hpi
+    quad = jnp.einsum("fpi,fpij,fpj->fp", nu, sinv, nu)
+    gauss = (1.0 / jnp.sqrt(2.0 * jnp.pi * dets)) * jnp.exp(-0.5 * quad)
+    likelihood = jnp.where(found, gauss, 0.0)
+    upd = making[:, None] & state.palive
+    prob = jnp.where(upd, state.prob * likelihood, state.prob)
+
+    total = jnp.sum(jnp.where(state.palive, prob, 0.0), axis=1)      # [MF]
+    all_zero = making & (total == 0.0)
+
+    safe_total = jnp.where(total > 0.0, total, 1.0)
+    prob_n = jnp.where(making[:, None], prob / safe_total[:, None], prob)
+
+    # prune below thresh/N_current, then renormalise (feature_init_info.cpp:128-144)
+    n_alive = jnp.sum(state.palive, axis=1)
+    thresh = params.prune_prob_thresh / jnp.maximum(n_alive, 1).astype(dtype)
+    keep = state.palive & ~(making[:, None] & (prob_n < thresh[:, None]))
+    prob_k = jnp.where(keep, prob_n, 0.0)
+    total2 = jnp.sum(prob_k, axis=1)
+    prob_f = jnp.where(
+        making[:, None] & (total2[:, None] > 0.0), prob_k / jnp.where(total2 > 0, total2, 1.0)[:, None], prob_k
+    )
+    palive_f = jnp.where(making[:, None], keep, state.palive)
+    n_alive_f = jnp.sum(palive_f, axis=1)
+
+    # lambda mean / cov over particles (feature_init_info.cpp:154-174)
+    mean = jnp.sum(state.lam * prob_f, axis=1)
+    exp2 = jnp.sum(state.lam * state.lam * prob_f, axis=1)
+    cov = exp2 - mean * mean
+
+    ratio = jnp.sqrt(cov) / mean
+    convert_mask = (
+        making
+        & ~all_zero
+        & (ratio < params.sd_depth_ratio)
+        & (n_alive_f > params.min_particles)
+    )
+
+    state = state._replace(
+        prob=prob_f, palive=palive_f, match_attempts=match_attempts
+    )
+
+    # conversions, one slot at a time (disjoint slots; sequential for safety)
+    def conv_body(i, s):
+        return st.convert_feature(s, i, mean[i], cov[i], convert_mask[i])
+
+    state = lax.fori_loop(0, MF, conv_body, state)
+    did_convert = jnp.any(convert_mask)
+
+    # deletions: all-zero-probability features (monoslam.cpp:1486-1493) and
+    # past-sell-by-date (monoslam.cpp:1502-1517)
+    still_partial = state.active & ~state.full
+    sell_by = still_partial & (
+        (match_attempts > params.erase_partial_after_attempts)
+        | (n_alive_f <= params.min_particles)
+    )
+    kill = all_zero | (sell_by & ~convert_mask)
+    state = st.delete_mask(state, kill)
+    return state, did_convert
