@@ -1,0 +1,75 @@
+"""Benchmark: MonoSLAM frames/sec on a synthetic TestSeqMonoSLAM-style
+sequence (320x240, stock SceneLib2.cfg calibration) on the current default
+JAX device (the real TPU chip under the driver).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 500 (the BASELINE.json north-star throughput target on
+one v5e chip; the reference's own implied rate is 30 fps real-time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def main():
+    t_setup = time.perf_counter()
+    import jax
+
+    import scenelib2_tpu  # noqa: F401 (x64 on)
+    from scenelib2_tpu import MonoSLAM
+    from scenelib2_tpu.eval.synthetic import generate_dataset
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "240"))
+    cache = os.path.join(tempfile.gettempdir(), f"scenelib2_bench_{n_frames}")
+    if not os.path.exists(os.path.join(cache, "frames.npy")):
+        os.makedirs(cache, exist_ok=True)
+        frames, rs, qs, cfg = generate_dataset(cache, n_frames=n_frames)
+        np.save(os.path.join(cache, "frames.npy"), frames)
+    else:
+        frames = np.load(os.path.join(cache, "frames.npy"))
+        cfg = os.path.join(cache, "synthetic.cfg")
+
+    slam = MonoSLAM(cfg, max_features=16)
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    # warm-up / compile
+    warm = frames[1:9]
+    slam.run_sequence(warm, enable_mapping=True)
+    print(f"# setup+compile: {time.perf_counter()-t_setup:.1f}s", file=sys.stderr)
+
+    # timed steady-state run over the remaining frames
+    rest = frames[9:]
+    t0 = time.perf_counter()
+    outs = slam.run_sequence(rest, enable_mapping=True)
+    jax.block_until_ready(outs.r)
+    dt = time.perf_counter() - t0
+    fps = len(rest) / dt
+
+    matched = np.asarray(outs.n_matched)
+    print(
+        f"# {len(rest)} frames in {dt*1000:.1f} ms; mean matched/frame "
+        f"{matched.mean():.2f}; active at end {int(np.asarray(outs.n_active)[-1])}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "fps_testseq_like_320x240_mapping",
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / 500.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,7 @@ arithmetic is identical to the reference's packed form).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from scenelib2_tpu.core import motion
@@ -88,7 +89,9 @@ def joint_update(
     """
     S = H @ P @ H.T + R
     L = jnp.linalg.cholesky(S)
-    Linv = jnp.linalg.inv(L)  # triangular inverse; masked rows stay unit rows
+    # triangular inverse via solve (TPU supports f64 TriangularSolve but not
+    # f64 LU inversion); masked rows stay unit rows
+    Linv = jax.scipy.linalg.solve_triangular(L, jnp.eye(L.shape[0], dtype=L.dtype), lower=True)
     Sinv = Linv.T @ Linv
     W = P @ H.T @ Sinv
     x_new = x + W @ nu

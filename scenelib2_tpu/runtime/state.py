@@ -175,9 +175,10 @@ def add_partial_feature(
     new_rows = Jx @ state.P[:CAM_DIM, :]                        # [6, D]
     pyy = new_rows[:, :CAM_DIM] @ Jx.T + dypi_by_dhi @ R @ dypi_by_dhi.T
 
+    zero = jnp.zeros_like(off)
     P = state.P
-    P = lax.dynamic_update_slice(P, new_rows, (off, 0))
-    P = lax.dynamic_update_slice(P, new_rows.T, (0, off))
+    P = lax.dynamic_update_slice(P, new_rows, (off, zero))
+    P = lax.dynamic_update_slice(P, new_rows.T, (zero, off))
     P = lax.dynamic_update_slice(P, pyy, (off, off))
     x = lax.dynamic_update_slice(state.x, ypi, (off,))
 
@@ -243,18 +244,19 @@ def convert_feature(
     zeroed.
     """
     off = slot_offset(slot)
+    zero = jnp.zeros_like(off)
     y6 = lax.dynamic_slice(state.x, (off,), (SLOT_DIM,))
     yfi, T, b = models.part_convert_to_full(y6, lam_mean)
 
-    old_rows = lax.dynamic_slice(state.P, (off, 0), (SLOT_DIM, state.P.shape[1]))
+    old_rows = lax.dynamic_slice(state.P, (off, zero), (SLOT_DIM, state.P.shape[1]))
     old_pyy = lax.dynamic_slice(state.P, (off, off), (SLOT_DIM, SLOT_DIM))
 
     new_rows3 = T @ old_rows                                  # [3, D]
     new_pyy3 = T @ old_pyy @ T.T + b @ (lam_cov.reshape(1, 1)) @ b.T
 
     rows6 = jnp.zeros((SLOT_DIM, state.P.shape[1]), state.P.dtype).at[:3].set(new_rows3)
-    P = lax.dynamic_update_slice(state.P, rows6, (off, 0))
-    P = lax.dynamic_update_slice(P, rows6.T, (0, off))
+    P = lax.dynamic_update_slice(state.P, rows6, (off, zero))
+    P = lax.dynamic_update_slice(P, rows6.T, (zero, off))
     pyy6 = jnp.zeros((SLOT_DIM, SLOT_DIM), state.P.dtype).at[:3, :3].set(new_pyy3)
     P = lax.dynamic_update_slice(P, pyy6, (off, off))
 

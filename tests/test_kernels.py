@@ -1,0 +1,136 @@
+"""JAX image kernels vs the NumPy oracle (bit-exactness of scores, identical
+candidate choices and tie-breaks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scenelib2_tpu.kernels import correlate, shi_tomasi
+from tests import oracle_improc as oracle
+
+B = 11
+
+
+@pytest.fixture
+def scene(rng):
+    img = rng.integers(0, 256, size=(60, 80), dtype=np.uint8)
+    # embed a recognisable patch
+    patch = img[20:31, 30:41].copy()
+    return img, patch
+
+
+def test_nssd_map_bit_exact(scene):
+    img, patch = scene
+    corr, sd0, sd1, valid = correlate.correlation_maps(
+        jnp.asarray(img), jnp.asarray(patch)[None], B
+    )
+    corr = np.asarray(corr[0])
+    sd1 = np.asarray(sd1)
+    # check a grid of centres against the oracle, bit for bit
+    for vc in range(5, 55, 7):
+        for uc in range(5, 75, 11):
+            c_ref, sdp_ref, sdi_ref = oracle.correlate2(patch, img, uc - 5, vc - 5)
+            assert corr[vc, uc] == c_ref, (vc, uc)
+            assert sd1[vc, uc] == sdi_ref
+    c_ref0, sdp_ref0, _ = oracle.correlate2(patch, img, 30, 20)
+    assert c_ref0 == corr[25, 35] == 0.0 or c_ref0 == corr[25, 35]  # perfect match site
+    assert np.asarray(sd0)[0] == sdp_ref0
+
+
+def test_nssd_flat_special_cases():
+    img = np.full((40, 40), 77, np.uint8)
+    patch = np.full((B, B), 77, np.uint8)
+    corr, sd0, sd1, valid = correlate.correlation_maps(jnp.asarray(img), jnp.asarray(patch)[None], B)
+    assert float(corr[0, 20, 20]) == 0.0  # both flat -> 0
+    patch2 = np.arange(B * B, dtype=np.uint8).reshape(B, B)
+    corr2, _, _, _ = correlate.correlation_maps(jnp.asarray(img), jnp.asarray(patch2)[None], B)
+    assert float(corr2[0, 20, 20]) == 1.0  # image flat -> 1
+
+
+def test_elliptical_search_matches_oracle(scene):
+    img, patch = scene
+    sinv = np.array([[0.08, 0.01], [0.01, 0.05]])
+    for centre in ([35.3, 25.2], [33.0, 22.0], [6.0, 6.0], [74.0, 54.0]):
+        found_o, u_o, v_o, best_o = oracle.elliptical_search(img, patch, centre, sinv, B)
+        corr, sd0, sd1, valid = correlate.correlation_maps(
+            jnp.asarray(img), jnp.asarray(patch)[None], B
+        )
+        res = correlate.elliptical_search_batch(
+            corr, sd0, sd1, valid,
+            jnp.asarray([centre]), jnp.asarray([sinv]), jnp.asarray([True]),
+        )
+        assert bool(res.found[0]) == found_o, centre
+        if found_o:
+            assert (int(res.u[0]), int(res.v[0])) == (u_o, v_o), centre
+            assert float(res.best[0]) == best_o
+
+
+def test_elliptical_search_low_patch_sigma_fails(scene):
+    img, _ = scene
+    flatp = np.full((B, B), 100, np.uint8)
+    corr, sd0, sd1, valid = correlate.correlation_maps(jnp.asarray(img), jnp.asarray(flatp)[None], B)
+    res = correlate.elliptical_search_batch(
+        corr, sd0, sd1, valid,
+        jnp.asarray([[40.0, 30.0]]), jnp.asarray([np.eye(2) * 0.05]), jnp.asarray([True]),
+    )
+    assert not bool(res.found[0])
+
+
+def test_multi_ellipse_search_matches_oracle(scene):
+    img, patch = scene
+    centres = [[35.0 + 3 * k, 25.0 + 0.5 * k] for k in range(6)]
+    sinvs = [np.array([[0.2, 0.0], [0.0, 0.15]])] * 6
+    res_o = oracle.multi_ellipse_search(img, patch, centres, sinvs, B)
+    corr, sd0, sd1, valid = correlate.correlation_maps(jnp.asarray(img), jnp.asarray(patch)[None], B)
+    found, u, v = correlate.multi_ellipse_search(
+        corr[0], sd1, valid, jnp.asarray(centres), jnp.asarray(sinvs),
+        jnp.ones(6, bool),
+    )
+    for k in range(6):
+        assert bool(found[k]) == res_o[k][0], k
+        if res_o[k][0]:
+            assert (int(u[k]), int(v[k])) == (res_o[k][1], res_o[k][2]), k
+
+
+def test_shi_tomasi_matches_oracle(rng):
+    img = rng.integers(0, 256, size=(60, 80), dtype=np.uint8)
+    sxx, syy, sxy, valid = shi_tomasi.structure_tensor_maps(jnp.asarray(img), B)
+    ev = shi_tomasi.min_eigenvalue_map(sxx, syy, sxy)
+    for region in [(10, 10, 40, 30), (0, 0, 80, 60), (50, 40, 79, 59)]:
+        us, vs, uf, vf = region
+        u_o, v_o, ev_o = oracle.find_best_patch(img, B, us, vs, uf, vf)
+        ru, rv, ruf, rvf = shi_tomasi.clamp_region(
+            jnp.int32(us), jnp.int32(vs), jnp.int32(uf), jnp.int32(vf), 80, 60, B
+        )
+        u_j, v_j, ev_j = shi_tomasi.find_best_patch_in_region(ev, valid, ru, rv, ruf, rvf)
+        assert (int(u_j), int(v_j)) == (u_o, v_o), region
+        assert float(ev_j) == ev_o, region
+
+
+def test_shi_tomasi_empty_region(rng):
+    img = rng.integers(0, 256, size=(60, 80), dtype=np.uint8)
+    sxx, syy, sxy, valid = shi_tomasi.structure_tensor_maps(jnp.asarray(img), B)
+    ev = shi_tomasi.min_eigenvalue_map(sxx, syy, sxy)
+    u, v, e = shi_tomasi.find_best_patch_in_region(
+        ev, valid, jnp.int32(30), jnp.int32(30), jnp.int32(30), jnp.int32(40)
+    )
+    assert float(e) == 0.0
+
+
+def test_tie_break_last_scan_order():
+    """Two identical patch sites inside the ellipse: reference keeps the one
+    visited LAST in (u outer, v inner) scan order."""
+    img = np.zeros((40, 60), np.uint8)
+    patch = (np.arange(B * B, dtype=np.uint8) * 7 % 251).reshape(B, B)
+    img[10:21, 10:21] = patch
+    img[10:21, 30:41] = patch  # duplicate at larger u
+    corr, sd0, sd1, valid = correlate.correlation_maps(jnp.asarray(img), jnp.asarray(patch)[None], B)
+    big = np.array([[0.005, 0.0], [0.0, 0.05]])  # wide ellipse spans both
+    centre = [25.0, 15.0]
+    found_o, u_o, v_o, _ = oracle.elliptical_search(img, patch, centre, big, B)
+    res = correlate.elliptical_search_batch(
+        corr, sd0, sd1, valid, jnp.asarray([centre]), jnp.asarray([big]), jnp.asarray([True])
+    )
+    assert bool(res.found[0]) and found_o
+    assert (int(res.u[0]), int(res.v[0])) == (u_o, v_o) == (35, 15)
