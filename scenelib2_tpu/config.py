@@ -116,6 +116,11 @@ class Params:
     max_features: int = 16    # feature slots; each slot spans 6 state dims
     slot_dim: int = 6         # per-slot state stride (ray features need 6)
     cam_dim: int = 13         # camera state size (motion_model.cpp:44)
+    # static window caps for the masked searches (the reference's dynamic
+    # 3-sigma boxes are data-dependent; candidates beyond the cap are dropped
+    # and counted — stock-workload extents stay well inside)
+    search_win_radius: int = 45
+    particle_win_radius: int = 16
 
     @property
     def state_dim(self) -> int:

@@ -1,27 +1,26 @@
-"""Batched NSSD patch correlation + elliptical active search (XLA conv form).
+"""Batched NSSD patch correlation + elliptical active search (TPU-exact).
 
-Replaces the reference's per-pixel scalar scans with full-image correlation
-maps computed for all features in one launch:
+Replaces the reference's per-pixel scalar scans (improc/improc.cpp:55-134,
+monoslam.cpp:401-477, search_multiple_overlapping_ellipses.cpp:106-196) with
+batched integer-sum maps + masked windowed reductions.
 
-  - correlate2_warning (improc/improc.cpp:55-134): zero-mean unit-variance
-    normalised SSD between an 11x11 patch and an image window, computed from
-    five integer sums. All sums fit exactly in f32 (max 121*255^2 < 2^24), so
-    conv accumulations are exact; the final score formula is evaluated in f64,
-    which reproduces the C++ double arithmetic bit-for-bit.
-  - elliptical_search (monoslam.cpp:401-477): 3-sigma ellipse bounded by the
-    conditional-variance box, low-sigma skip, min-score with last-in-scan-order
-    tie-break, success iff min <= 0.40.
-  - SearchMultipleOverlappingEllipses (improc/search_multiple_overlapping_
-    ellipses.cpp:106-196): shared correlation map over the particle cloud with
-    a +5.0 penalty where the image window sigma is low, per-particle masked
-    min within each particle's own ellipse.
+TPU exactness strategy (measured on v5e):
+  - f32 convolutions on the MXU are NOT integer-exact (bf16 passes), so all
+    integer sums use ops that are: `lax.reduce_window` adds for box sums
+    (sg1, sg1sq) and an int32 grouped convolution for the patch cross sums
+    (sg0g1). Both are bit-exact and compile ~100x faster than f32 convs on
+    the axon backend.
+  - the final NSSD score formula runs in f64 with the same operation order
+    as the C++ double code, so scores are bit-identical given the (exact)
+    integer sums.
 
-Design note (TPU-first): rather than replicate the reference's dynamic
-bounding boxes, we compute the correlation map over ALL valid patch centres
-of the image (a handful of 11x11 convolutions — microseconds on the MXU) and
-reduce under masks. That keeps every shape static, removes the data-dependent
-window extents entirely, and makes the per-feature search a pure masked
-argmin. The candidate SET per feature is identical to the reference's loop.
+Cost strategy: integer sum MAPS are computed once per frame over the full
+image (cheap, VPU/MXU-friendly); the f64 score formula + ellipse masks are
+evaluated only on small gathered windows around each candidate centre
+(the full-image f64 variant cost ~2 GF64op/frame at 100 particles — the
+windowed form is ~100x less). Window radii are static caps; candidates the
+reference would scan beyond the cap are dropped and counted in `overflow`
+(never observed in the stock workload where 3-sigma extents are <15 px).
 """
 
 from __future__ import annotations
@@ -33,94 +32,70 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _conv_valid(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """2-D VALID cross-correlation, f32. img [H,W], kernel [kh,kw] -> [H-kh+1, W-kw+1]."""
-    out = lax.conv_general_dilated(
-        img[None, None, :, :],
-        kernel[None, None, :, :],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-    )
-    return out[0, 0]
+class FrameSums(NamedTuple):
+    """Per-centre integer window sums for one image (centre-indexed, padded).
 
-
-class CorrSums(NamedTuple):
-    """Integer sums underlying the NSSD score, per valid patch-centre.
-
-    Maps are indexed by the patch CENTRE pixel (u, v); entries whose 11x11
-    window would leave the image are only produced for valid centres
-    [half, W-1-half] x [half, H-1-half]; arrays are padded back to full image
-    size with zeros for static shapes.
+    Entries at invalid centres (window would leave the image) are zero; use
+    the centre-validity bounds [half, dim-1-half].
     """
 
-    sg1: jnp.ndarray     # window sum            [H, W] f32 (exact ints)
-    sg1sq: jnp.ndarray   # window sum of squares [H, W] f32
-    sg0g1: jnp.ndarray   # patch.window          [F, H, W] f32
-    valid: jnp.ndarray   # centre validity mask  [H, W] bool
+    sg1: jnp.ndarray    # [H,W] f32 window sums (exact integers)
+    sg1sq: jnp.ndarray  # [H,W] f32 window sums of squares
+    valid: jnp.ndarray  # [H,W] bool centre validity
 
 
-def image_window_sums(image_u8: jnp.ndarray, boxsize: int):
-    """Per-centre window sums Sg1, Sg1sq for one image. Returns ([H,W],[H,W],valid)."""
+def _box_sum(img_f32: jnp.ndarray, boxsize: int) -> jnp.ndarray:
+    """VALID box sum via reduce_window (exact f32 adds), centre-padded."""
+    H, W = img_f32.shape
+    half = (boxsize - 1) // 2
+    s = lax.reduce_window(img_f32, 0.0, lax.add, (boxsize, boxsize), (1, 1), "VALID")
+    return jnp.pad(s, ((half, H - s.shape[0] - half), (half, W - s.shape[1] - half)))
+
+
+def frame_sums(image_u8: jnp.ndarray, boxsize: int) -> FrameSums:
     H, W = image_u8.shape
     half = (boxsize - 1) // 2
     img = image_u8.astype(jnp.float32)
-    ones = jnp.ones((boxsize, boxsize), jnp.float32)
-    sg1 = _conv_valid(img, ones)
-    sg1sq = _conv_valid(img * img, ones)
-    # pad VALID output (indexed by window top-left) back to centre-indexed full size
-    pad = ((half, H - sg1.shape[0] - half), (half, W - sg1.shape[1] - half))
-    sg1 = jnp.pad(sg1, pad)
-    sg1sq = jnp.pad(sg1sq, pad)
     uu = jnp.arange(W)[None, :]
     vv = jnp.arange(H)[:, None]
-    valid = (uu >= half) & (uu <= W - 1 - (boxsize - 1 - half)) & (vv >= half) & (
-        vv <= H - 1 - (boxsize - 1 - half)
-    )
-    return sg1, sg1sq, valid
+    valid = (uu >= half) & (uu <= W - 1 - half) & (vv >= half) & (vv <= H - 1 - half)
+    return FrameSums(_box_sum(img, boxsize), _box_sum(img * img, boxsize), valid)
 
 
-def patch_cross_sums(image_u8: jnp.ndarray, patches_u8: jnp.ndarray, boxsize: int) -> jnp.ndarray:
-    """Sg0g1 for every feature patch at every centre: [F, H, W] (one grouped conv)."""
+def cross_sum_maps(image_u8: jnp.ndarray, patches_u8: jnp.ndarray, boxsize: int) -> jnp.ndarray:
+    """Sg0g1 for every patch at every centre: [F,H,W] i32 (one int32 grouped
+    conv — exact on TPU, unlike f32 MXU convs)."""
     H, W = image_u8.shape
     F = patches_u8.shape[0]
     half = (boxsize - 1) // 2
-    img = image_u8.astype(jnp.float32)
-    kernels = patches_u8.astype(jnp.float32)[:, None, :, :]  # [F,1,k,k]
+    img = image_u8.astype(jnp.int32)
+    kernels = patches_u8.astype(jnp.int32)[:, None, :, :]
     out = lax.conv_general_dilated(
-        jnp.broadcast_to(img[None, None], (1, F, H, W)),
+        jnp.broadcast_to(img[None, None], (1, F, H, W)).astype(jnp.int32),
         kernels,
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=F,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32,
     )[0]
     pad = ((0, 0), (half, H - out.shape[1] - half), (half, W - out.shape[2] - half))
     return jnp.pad(out, pad)
 
 
 def patch_stats(patches_u8: jnp.ndarray):
-    """Per-patch integer sums (Sg0, Sg0sq): [F], [F] in f64-exact f32."""
-    p = patches_u8.astype(jnp.float32)
-    return p.sum(axis=(1, 2)), (p * p).sum(axis=(1, 2))
+    """Per-patch (Sg0, Sg0sq): [F],[F] i32->f64-exact f32."""
+    p = patches_u8.astype(jnp.int32)
+    return (
+        p.sum(axis=(1, 2)).astype(jnp.float32),
+        (p * p).sum(axis=(1, 2)).astype(jnp.float32),
+    )
 
 
-def nssd_score(
-    sg0: jnp.ndarray,      # [...]: patch sum
-    sg0sq: jnp.ndarray,    # [...]: patch sum sq
-    sg1: jnp.ndarray,      # [...]: window sum
-    sg1sq: jnp.ndarray,    # [...]: window sum sq
-    sg0g1: jnp.ndarray,    # [...]: cross sum
-    n: float,
-):
-    """The correlate2_warning score + both sigmas, broadcast over any shape.
-
-    Evaluated in f64 with the same operation order as the C++ double code so
-    results are bit-identical given identical integer sums. Returns
-    (corr, sd0, sd1); the sd==0 special cases return 0/1 as in the reference.
-    """
+def nssd_score(sg0, sg0sq, sg1, sg1sq, sg0g1, n: float):
+    """The correlate2_warning score + both sigmas (f64, same op order as the
+    C++ double code). Returns (corr, sd0, sd1) with the 0/1 zero-variance
+    special cases (improc.cpp:117-125)."""
     sg0 = sg0.astype(jnp.float64)
     sg0sq = sg0sq.astype(jnp.float64)
     sg1 = sg1.astype(jnp.float64)
@@ -135,7 +110,6 @@ def nssd_score(
     sd1 = jnp.sqrt(varg1)
 
     ok = (sd0 != 0.0) & (sd1 != 0.0)
-    # guard the divisions; value replaced by the special cases below
     v0 = jnp.where(varg0 == 0.0, 1.0, varg0)
     v1 = jnp.where(varg1 == 0.0, 1.0, varg1)
     s0 = jnp.sqrt(v0)
@@ -154,134 +128,169 @@ def nssd_score(
     return corr, sd0, sd1
 
 
+# ---------------------------------------------------------------------------
+# full-image maps (test/reference path; the step uses the windowed variants)
+# ---------------------------------------------------------------------------
+
+
 def correlation_maps(image_u8: jnp.ndarray, patches_u8: jnp.ndarray, boxsize: int):
     """Full-image NSSD maps for every patch.
 
     Returns (corr [F,H,W] f64, sd_patch [F] f64, sd_image [H,W] f64,
-    valid [H,W] bool). corr at invalid centres is garbage — always reduce
-    under `valid`.
+    valid [H,W] bool). Reduce only under `valid`.
     """
     n = float(boxsize * boxsize)
-    sg1, sg1sq, valid = image_window_sums(image_u8, boxsize)
-    sg0g1 = patch_cross_sums(image_u8, patches_u8, boxsize)
+    fs = frame_sums(image_u8, boxsize)
+    sg0g1 = cross_sum_maps(image_u8, patches_u8, boxsize)
     sg0, sg0sq = patch_stats(patches_u8)
     corr, sd0, sd1 = nssd_score(
-        sg0[:, None, None], sg0sq[:, None, None], sg1[None], sg1sq[None], sg0g1, n
+        sg0[:, None, None], sg0sq[:, None, None], fs.sg1[None], fs.sg1sq[None], sg0g1, n
     )
-    return corr, sd0[:, 0, 0], sd1[0], valid
+    return corr, sd0[:, 0, 0], sd1[0], fs.valid
 
 
 class SearchResult(NamedTuple):
-    found: jnp.ndarray  # [F] bool
-    u: jnp.ndarray      # [F] int32 (patch centre of best match)
-    v: jnp.ndarray      # [F] int32
-    best: jnp.ndarray   # [F] f64 best corr (1e6 where no candidate)
+    found: jnp.ndarray    # [K] bool
+    u: jnp.ndarray        # [K] i32 best-match patch centre
+    v: jnp.ndarray        # [K] i32
+    best: jnp.ndarray     # [K] f64 best corr (1e6 if no candidate)
+    overflow: jnp.ndarray  # [K] bool: reference search box exceeded the window cap
 
 
-def _masked_min_last_tie(corr: jnp.ndarray, mask: jnp.ndarray):
-    """Masked min over [H,W] with the reference tie-break (last visited wins,
-    scan order: u outer, v inner => largest (u, v) lexicographic).
-
-    Returns (min_value (1e6 if empty), u, v).
-    """
-    H, W = corr.shape
+def _masked_min_last_tie_win(corr, mask, uu, vv, H: int):
+    """Masked min with the reference tie-break (u-outer/v-inner scan,
+    `corr <= corrmax` keeps later candidates => largest (u,v) lexicographic)."""
     big = jnp.float64(1e6)
     vals = jnp.where(mask, corr, big)
     m = vals.min()
-    uu = jnp.arange(W, dtype=jnp.int32)[None, :]
-    vv = jnp.arange(H, dtype=jnp.int32)[:, None]
-    key = uu * jnp.int32(H) + vv  # lexicographic (u, v)
+    key = uu.astype(jnp.int32) * jnp.int32(H) + vv.astype(jnp.int32)
     tie = (vals == m) & mask
     kbest = jnp.where(tie, key, -1).max()
     return m, kbest // H, kbest % H
 
 
+def _window_coords(ucentre, vcentre, R: int, W: int, H: int):
+    """Static-size window (clamped to image dims) with clamped start; returns
+    absolute coordinate grids + start indices."""
+    side_u = min(2 * R + 1, W)
+    side_v = min(2 * R + 1, H)
+    u0 = jnp.clip(ucentre - R, 0, W - side_u)
+    v0 = jnp.clip(vcentre - R, 0, H - side_v)
+    uu = u0 + jnp.arange(side_u, dtype=jnp.int32)[None, :]
+    vv = v0 + jnp.arange(side_v, dtype=jnp.int32)[:, None]
+    return u0, v0, uu, vv
+
+
+def _gather_window(map2d, v0, u0, side_v: int, side_u: int):
+    return lax.dynamic_slice(map2d, (v0, u0), (side_v, side_u))
+
+
 def elliptical_search_batch(
-    corr: jnp.ndarray,        # [F,H,W] from correlation_maps
-    sd_patch: jnp.ndarray,    # [F]
-    sd_image: jnp.ndarray,    # [H,W]
-    valid: jnp.ndarray,       # [H,W]
-    h_centre: jnp.ndarray,    # [F,2] predicted image positions (f64)
-    sinv: jnp.ndarray,        # [F,2,2] inverse innovation covariances
-    active: jnp.ndarray,      # [F] bool: perform search for this feature
+    fsums: FrameSums,
+    cross_maps: jnp.ndarray,   # [F,H,W] i32 (all slots)
+    sg0: jnp.ndarray,          # [F]
+    sg0sq: jnp.ndarray,        # [F]
+    map_idx: jnp.ndarray,      # [K] i32 rows into cross_maps
+    h_centre: jnp.ndarray,     # [K,2]
+    sinv: jnp.ndarray,         # [K,2,2]
+    active: jnp.ndarray,       # [K]
+    boxsize: int,
+    win_radius: int = 45,
     no_sigma: float = 3.0,
     corr_thresh2: float = 0.40,
     corr_sigma_thresh: float = 10.0,
 ) -> SearchResult:
-    """Reference elliptical_search (monoslam.cpp:401-477) for all features at once.
+    """Reference elliptical_search (monoslam.cpp:401-477), all features in
+    one launch, f64 score evaluated on [2R+1]^2 windows only."""
+    H, W = fsums.sg1.shape
+    half = (boxsize - 1) // 2
+    n = float(boxsize * boxsize)
+    side_u = min(2 * win_radius + 1, W)
+    side_v = min(2 * win_radius + 1, H)
 
-    Candidate set per feature: |urel| <= halfwidth, |vrel| <= halfheight
-    (halfsizes int-truncated from the conditional 3-sigma extents), centre
-    valid in image, inside the ellipse quadratic < 9, image-window sigma >= 10.
-    A patch sigma < 10 fails the whole feature (no candidate ever accepted).
-    """
-    F, H, W = corr.shape
-    uu = jnp.arange(W, dtype=jnp.float64)[None, :]
-    vv = jnp.arange(H, dtype=jnp.float64)[:, None]
-
-    def per_feature(corr_f, sd0_f, h_f, sinv_f):
+    def per_feature(idx, h_f, sinv_f):
         a, b, c = sinv_f[0, 0], sinv_f[0, 1], sinv_f[1, 1]
         halfwidth = jnp.floor(no_sigma / jnp.sqrt(a - b * b / c)).astype(jnp.int32)
         halfheight = jnp.floor(no_sigma / jnp.sqrt(c - b * b / a)).astype(jnp.int32)
         ucentre = jnp.floor(h_f[0] + 0.5).astype(jnp.int32)
         vcentre = jnp.floor(h_f[1] + 0.5).astype(jnp.int32)
-        urel = uu - ucentre
-        vrel = vv - vcentre
+        u0, v0, uu, vv = _window_coords(ucentre, vcentre, win_radius, W, H)
+
+        sg1_w = _gather_window(fsums.sg1, v0, u0, side_v, side_u)
+        sg1sq_w = _gather_window(fsums.sg1sq, v0, u0, side_v, side_u)
+        cross_w = _gather_window(cross_maps[idx], v0, u0, side_v, side_u)
+
+        corr, sd0, sd1 = nssd_score(sg0[idx], sg0sq[idx], sg1_w, sg1sq_w, cross_w, n)
+
+        urel = (uu - ucentre).astype(jnp.float64)
+        vrel = (vv - vcentre).astype(jnp.float64)
         box = (jnp.abs(urel) <= halfwidth) & (jnp.abs(vrel) <= halfheight)
         ellipse = a * urel * urel + 2.0 * b * urel * vrel + c * vrel * vrel < no_sigma * no_sigma
-        mask = box & ellipse & valid & (sd_image >= corr_sigma_thresh) & (
-            sd0_f >= corr_sigma_thresh
+        centre_ok = (uu >= half) & (uu <= W - 1 - half) & (vv >= half) & (vv <= H - 1 - half)
+        mask = box & ellipse & centre_ok & (sd1 >= corr_sigma_thresh) & (
+            sd0 >= corr_sigma_thresh
         )
-        best, u, v = _masked_min_last_tie(corr_f, mask)
-        return best, u, v
+        best, ub, vb = _masked_min_last_tie_win(corr, mask, uu, vv, H)
+        over = (halfwidth > win_radius) | (halfheight > win_radius)
+        return best, ub, vb, over
 
-    best, u, v = jax.vmap(per_feature)(corr, sd_patch, h_centre, sinv)
+    best, u, v, over = jax.vmap(per_feature)(map_idx, h_centre, sinv)
     found = active & (best <= corr_thresh2)
-    return SearchResult(found=found, u=u, v=v, best=best)
+    return SearchResult(found=found, u=u, v=v, best=best, overflow=over & active)
 
 
 def multi_ellipse_search(
-    corr: jnp.ndarray,      # [H,W] correlation map for ONE patch (f64)
-    sd_image: jnp.ndarray,  # [H,W]
-    valid: jnp.ndarray,     # [H,W]
-    h_centres: jnp.ndarray, # [P,2] per-particle predicted positions
-    sinv: jnp.ndarray,      # [P,2,2]
-    alive: jnp.ndarray,     # [P] bool
+    fsums: FrameSums,
+    cross_map: jnp.ndarray,    # [H,W] i32 for this patch
+    sg0: jnp.ndarray,          # [] scalar
+    sg0sq: jnp.ndarray,        # []
+    h_centres: jnp.ndarray,    # [P,2]
+    sinv: jnp.ndarray,         # [P,2,2]
+    alive: jnp.ndarray,        # [P]
+    boxsize: int,
+    win_radius: int = 16,
     no_sigma: float = 3.0,
     corr_thresh2: float = 0.40,
     corr_sigma_thresh: float = 10.0,
     low_sigma_penalty: float = 5.0,
 ):
-    """SearchMultipleOverlappingEllipses for one particle cloud.
+    """SearchMultipleOverlappingEllipses for one particle cloud, windowed.
 
-    Differences from the single-feature search, matching the reference:
-      - low image sigma adds +5.0 to the score instead of skipping
-      - no patch-sigma gate
-      - the ellipse centre uses plain int truncation (int(c), NOT int(c+0.5))
-        — search_multiple_overlapping_ellipses.cpp:126-127.
-    Returns (found [P], u [P], v [P]).
+    Matching the reference: low image-sigma adds +5.0 (no skip), no
+    patch-sigma gate, centre via plain int truncation
+    (search_multiple_overlapping_ellipses.cpp:126-127).
+    Returns (found [P], u, v, overflow [P]).
     """
-    P = h_centres.shape[0]
-    H, W = corr.shape
-    corr_pen = jnp.where(sd_image < corr_sigma_thresh, corr + low_sigma_penalty, corr)
-    uu = jnp.arange(W, dtype=jnp.float64)[None, :]
-    vv = jnp.arange(H, dtype=jnp.float64)[:, None]
+    H, W = fsums.sg1.shape
+    half = (boxsize - 1) // 2
+    n = float(boxsize * boxsize)
+    side_u = min(2 * win_radius + 1, W)
+    side_v = min(2 * win_radius + 1, H)
 
     def per_particle(h_p, sinv_p):
         a, b, c = sinv_p[0, 0], sinv_p[0, 1], sinv_p[1, 1]
         halfwidth = jnp.floor(no_sigma / jnp.sqrt(a - b * b / c)).astype(jnp.int32)
         halfheight = jnp.floor(no_sigma / jnp.sqrt(c - b * b / a)).astype(jnp.int32)
-        # int truncation toward zero of the (positive) centre coordinates
         ucentre = jnp.trunc(h_p[0]).astype(jnp.int32)
         vcentre = jnp.trunc(h_p[1]).astype(jnp.int32)
-        urel = uu - ucentre
-        vrel = vv - vcentre
+        u0, v0, uu, vv = _window_coords(ucentre, vcentre, win_radius, W, H)
+
+        sg1_w = _gather_window(fsums.sg1, v0, u0, side_v, side_u)
+        sg1sq_w = _gather_window(fsums.sg1sq, v0, u0, side_v, side_u)
+        cross_w = _gather_window(cross_map, v0, u0, side_v, side_u)
+        corr, sd0, sd1 = nssd_score(sg0, sg0sq, sg1_w, sg1sq_w, cross_w, n)
+        corr = jnp.where(sd1 < corr_sigma_thresh, corr + low_sigma_penalty, corr)
+
+        urel = (uu - ucentre).astype(jnp.float64)
+        vrel = (vv - vcentre).astype(jnp.float64)
         box = (jnp.abs(urel) <= halfwidth) & (jnp.abs(vrel) <= halfheight)
         ellipse = a * urel * urel + 2.0 * b * urel * vrel + c * vrel * vrel < no_sigma * no_sigma
-        mask = box & ellipse & valid
-        best, u, v = _masked_min_last_tie(corr_pen, mask)
-        return best, u, v
+        centre_ok = (uu >= half) & (uu <= W - 1 - half) & (vv >= half) & (vv <= H - 1 - half)
+        mask = box & ellipse & centre_ok
+        best, ub, vb = _masked_min_last_tie_win(corr, mask, uu, vv, H)
+        over = (halfwidth > win_radius) | (halfheight > win_radius)
+        return best, ub, vb, over
 
-    best, u, v = jax.vmap(per_particle)(h_centres, sinv)
+    best, u, v, over = jax.vmap(per_particle)(h_centres, sinv)
     found = alive & (best <= corr_thresh2)
-    return found, u, v
+    return found, u, v, over & alive

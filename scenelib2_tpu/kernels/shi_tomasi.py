@@ -21,16 +21,10 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _conv_valid(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    out = lax.conv_general_dilated(
-        img[None, None],
-        kernel[None, None],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-    )
-    return out[0, 0]
+def _box_sum_valid(img_f32: jnp.ndarray, boxsize: int) -> jnp.ndarray:
+    """VALID box sum via reduce_window — exact f32 integer adds on TPU
+    (unlike MXU f32 convolutions, which round through bf16 passes)."""
+    return lax.reduce_window(img_f32, 0.0, lax.add, (boxsize, boxsize), (1, 1), "VALID")
 
 
 def structure_tensor_maps(image_u8: jnp.ndarray, boxsize: int):
@@ -51,10 +45,10 @@ def structure_tensor_maps(image_u8: jnp.ndarray, boxsize: int):
     gx2i = gx2[1:-1, :]                     # [H-2, W-2]
     gy2i = gy2[:, 1:-1]                     # [H-2, W-2]
 
-    ones = jnp.ones((boxsize, boxsize), jnp.float32)
-    sxx4 = _conv_valid(gx2i * gx2i, ones)   # 4*sum(gx^2), exact ints in f32
-    syy4 = _conv_valid(gy2i * gy2i, ones)
-    sxy4 = _conv_valid(gx2i * gy2i, ones)
+    # products <= 255^2 are exact in f32; box sums <= 121*255^2 < 2^24 exact
+    sxx4 = _box_sum_valid(gx2i * gx2i, boxsize)   # 4*sum(gx^2)
+    syy4 = _box_sum_valid(gy2i * gy2i, boxsize)
+    sxy4 = _box_sum_valid(gx2i * gy2i, boxsize)
 
     # centre of an 11x11 box over the interior grid: interior index + half,
     # interior grid itself starts at image index 1

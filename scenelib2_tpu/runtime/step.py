@@ -104,15 +104,17 @@ def make_step(params: Params, dtype=jnp.float64):
         sel_mask = top_score > _NEG_INF
         n_selected = jnp.sum(sel_mask).astype(jnp.int32)
 
-        # ---- 3. correlation maps (ONE launch for all slots) + search --------
-        corr_all, sd_patch_all, sd_image, cvalid = correlate.correlation_maps(
-            frame_u8, state.patches, B
-        )
+        # ---- 3. integer sum maps (ONE launch for all slots) + windowed search
+        fsums = correlate.frame_sums(frame_u8, B)
+        cross_maps = correlate.cross_sum_maps(frame_u8, state.patches, B)
+        sg0_all, sg0sq_all = correlate.patch_stats(state.patches)
         sinv_sel = jax.vmap(ekf.inv2x2_via_chol)(S_all[top_idx])
         search = correlate.elliptical_search_batch(
-            corr_all[top_idx], sd_patch_all[top_idx], sd_image, cvalid,
-            h_all[top_idx], sinv_sel, sel_mask,
-            params.no_sigma, params.corr_thresh2, params.corr_sigma_thresh,
+            fsums, cross_maps, sg0_all, sg0sq_all, top_idx,
+            h_all[top_idx], sinv_sel, sel_mask, B,
+            win_radius=params.search_win_radius,
+            no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
+            corr_sigma_thresh=params.corr_sigma_thresh,
         )
         succ = search.found                                   # [NSEL]
         z_sel = jnp.stack([search.u, search.v], axis=1).astype(dtype)
@@ -188,7 +190,7 @@ def make_step(params: Params, dtype=jnp.float64):
 
         # ---- 8. match partially-initialised features --------------------------
         mid_state, did_convert = _match_partial_features(
-            mid_state, corr_all, sd_image, cvalid, cam, params, dtype
+            mid_state, fsums, cross_maps, sg0_all, sg0sq_all, cam, params, dtype
         )
 
         out = StepOutputs(
@@ -311,20 +313,32 @@ def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Para
 # ---------------------------------------------------------------------------
 
 
-def _match_partial_features(state: SlamState, corr_all, sd_image, cvalid,
+def _match_partial_features(state: SlamState, fsums, cross_maps, sg0_all, sg0sq_all,
                             cam: CameraParams, params: Params, dtype):
     MF = params.max_features
     NP = params.n_particles
+    # At most max_features_to_init_at_once partial features can exist (the
+    # auto-init gate enforces it), so the particle work runs on a compact
+    # set of MAXP candidate slots instead of all MF.
+    MAXP = min(MF, params.max_features_to_init_at_once + 1)
     x, P = state.x, state.P
     xp = x[:7]
     Pxx = P[:CAM_DIM, :CAM_DIM]
-    pxy6 = st.slot_pxy(P, MF)            # [MF,13,6]
-    pyy6 = st.slot_pyy(P, MF)            # [MF,6,6]
-    ys6 = st.slot_states(x, MF)          # [MF,6]
 
     is_partial = state.active & ~state.full
-    making = is_partial & (state.match_attempts != 0)
+    making_all = is_partial & (state.match_attempts != 0)
     match_attempts = jnp.where(is_partial, state.match_attempts + 1, state.match_attempts)
+
+    pvals, pidx = lax.top_k(is_partial.astype(jnp.int32), MAXP)
+    pmask = pvals > 0                                   # [MAXP]
+    making = pmask & making_all[pidx]                   # [MAXP]
+
+    ys6 = st.slot_states(x, MF)[pidx]                   # [MAXP,6]
+    pxy6 = st.slot_pxy(P, MF)[pidx]                     # [MAXP,13,6]
+    pyy6 = st.slot_pyy(P, MF)[pidx]                     # [MAXP,6,6]
+    lam_c = state.lam[pidx]                             # [MAXP,NP]
+    palive_c = state.palive[pidx]
+    prob_c = state.prob[pidx]
 
     # per-(slot, particle) predicted measurement + innovation covariance
     def per_particle(y6, pxy_i, pyy_i, lam_p):
@@ -339,48 +353,53 @@ def _match_partial_features(state: SlamState, corr_all, sd_image, cvalid,
     def per_slot(y6, pxy_i, pyy_i, lam_row):
         return jax.vmap(lambda l: per_particle(y6, pxy_i, pyy_i, l))(lam_row)
 
-    hpi, sinv, dets = jax.vmap(per_slot)(ys6, pxy6, pyy6, state.lam)
-    # hpi [MF,NP,2], sinv [MF,NP,2,2], dets [MF,NP]
+    hpi, sinv, dets = jax.vmap(per_slot)(ys6, pxy6, pyy6, lam_c)
+    # hpi [MAXP,NP,2], sinv [MAXP,NP,2,2], dets [MAXP,NP]
 
-    def search_slot(corr_f, h_f, sinv_f, alive_f, making_f):
+    def search_slot(idx, h_f, sinv_f, alive_f, making_f):
         return correlate.multi_ellipse_search(
-            corr_f, sd_image, cvalid, h_f, sinv_f, alive_f & making_f,
-            params.no_sigma, params.corr_thresh2, params.corr_sigma_thresh,
-            params.low_sigma_penalty,
+            fsums, cross_maps[idx], sg0_all[idx], sg0sq_all[idx],
+            h_f, sinv_f, alive_f & making_f, params.boxsize,
+            win_radius=params.particle_win_radius,
+            no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
+            corr_sigma_thresh=params.corr_sigma_thresh,
+            low_sigma_penalty=params.low_sigma_penalty,
         )
 
-    found, zu, zv = jax.vmap(search_slot)(corr_all, hpi, sinv, state.palive, making)
-    z = jnp.stack([zu, zv], axis=-1).astype(dtype)          # [MF,NP,2]
+    found, zu, zv, _over = jax.vmap(search_slot)(pidx, hpi, sinv, palive_c, making)
+    z = jnp.stack([zu, zv], axis=-1).astype(dtype)          # [MAXP,NP,2]
 
     # Bayes update of particle probabilities (monoslam.cpp:1446-1493)
     nu = z - hpi
     quad = jnp.einsum("fpi,fpij,fpj->fp", nu, sinv, nu)
     gauss = (1.0 / jnp.sqrt(2.0 * jnp.pi * dets)) * jnp.exp(-0.5 * quad)
     likelihood = jnp.where(found, gauss, 0.0)
-    upd = making[:, None] & state.palive
-    prob = jnp.where(upd, state.prob * likelihood, state.prob)
+    upd = making[:, None] & palive_c
+    prob = jnp.where(upd, prob_c * likelihood, prob_c)
 
-    total = jnp.sum(jnp.where(state.palive, prob, 0.0), axis=1)      # [MF]
+    total = jnp.sum(jnp.where(palive_c, prob, 0.0), axis=1)      # [MAXP]
     all_zero = making & (total == 0.0)
 
     safe_total = jnp.where(total > 0.0, total, 1.0)
     prob_n = jnp.where(making[:, None], prob / safe_total[:, None], prob)
 
     # prune below thresh/N_current, then renormalise (feature_init_info.cpp:128-144)
-    n_alive = jnp.sum(state.palive, axis=1)
+    n_alive = jnp.sum(palive_c, axis=1)
     thresh = params.prune_prob_thresh / jnp.maximum(n_alive, 1).astype(dtype)
-    keep = state.palive & ~(making[:, None] & (prob_n < thresh[:, None]))
+    keep = palive_c & ~(making[:, None] & (prob_n < thresh[:, None]))
     prob_k = jnp.where(keep, prob_n, 0.0)
     total2 = jnp.sum(prob_k, axis=1)
     prob_f = jnp.where(
-        making[:, None] & (total2[:, None] > 0.0), prob_k / jnp.where(total2 > 0, total2, 1.0)[:, None], prob_k
+        making[:, None] & (total2[:, None] > 0.0),
+        prob_k / jnp.where(total2 > 0, total2, 1.0)[:, None],
+        prob_k,
     )
-    palive_f = jnp.where(making[:, None], keep, state.palive)
+    palive_f = jnp.where(making[:, None], keep, palive_c)
     n_alive_f = jnp.sum(palive_f, axis=1)
 
     # lambda mean / cov over particles (feature_init_info.cpp:154-174)
-    mean = jnp.sum(state.lam * prob_f, axis=1)
-    exp2 = jnp.sum(state.lam * state.lam * prob_f, axis=1)
+    mean = jnp.sum(lam_c * prob_f, axis=1)
+    exp2 = jnp.sum(lam_c * lam_c * prob_f, axis=1)
     cov = exp2 - mean * mean
 
     ratio = jnp.sqrt(cov) / mean
@@ -391,24 +410,33 @@ def _match_partial_features(state: SlamState, corr_all, sd_image, cvalid,
         & (n_alive_f > params.min_particles)
     )
 
+    # scatter compact particle state back to the full-width arrays
+    # (top_k indices are distinct; padding rows write their own values back)
+    prob_full = state.prob.at[pidx].set(prob_f)
+    palive_full = state.palive.at[pidx].set(palive_f)
     state = state._replace(
-        prob=prob_f, palive=palive_f, match_attempts=match_attempts
+        prob=prob_full, palive=palive_full, match_attempts=match_attempts
     )
 
-    # conversions, one slot at a time (disjoint slots; sequential for safety)
-    def conv_body(i, s):
-        return st.convert_feature(s, i, mean[i], cov[i], convert_mask[i])
+    # conversions, one compact row at a time (disjoint slots)
+    def conv_body(j, s):
+        return st.convert_feature(s, pidx[j], mean[j], cov[j], convert_mask[j])
 
-    state = lax.fori_loop(0, MF, conv_body, state)
+    state = lax.fori_loop(0, MAXP, conv_body, state)
     did_convert = jnp.any(convert_mask)
 
     # deletions: all-zero-probability features (monoslam.cpp:1486-1493) and
     # past-sell-by-date (monoslam.cpp:1502-1517)
-    still_partial = state.active & ~state.full
-    sell_by = still_partial & (
-        (match_attempts > params.erase_partial_after_attempts)
-        | (n_alive_f <= params.min_particles)
+    sell_by_c = (
+        pmask
+        & ~convert_mask
+        & (
+            (match_attempts[pidx] > params.erase_partial_after_attempts)
+            | (n_alive_f <= params.min_particles)
+        )
     )
-    kill = all_zero | (sell_by & ~convert_mask)
+    kill_c = all_zero | sell_by_c
+    kill = jnp.zeros(MF, bool).at[pidx].set(kill_c & pmask)
+    kill = kill & state.active & ~state.full
     state = st.delete_mask(state, kill)
     return state, did_convert

@@ -1,5 +1,6 @@
 """JAX image kernels vs the NumPy oracle (bit-exactness of scores, identical
-candidate choices and tie-breaks)."""
+candidate choices and tie-breaks), including the windowed search variants the
+runtime step uses."""
 
 import jax
 import jax.numpy as jnp
@@ -15,9 +16,19 @@ B = 11
 @pytest.fixture
 def scene(rng):
     img = rng.integers(0, 256, size=(60, 80), dtype=np.uint8)
-    # embed a recognisable patch
     patch = img[20:31, 30:41].copy()
     return img, patch
+
+
+def _windowed_search(img, patch, centre, sinv, active=True, win_radius=25):
+    fsums = correlate.frame_sums(jnp.asarray(img), B)
+    cross = correlate.cross_sum_maps(jnp.asarray(img), jnp.asarray(patch)[None], B)
+    sg0, sg0sq = correlate.patch_stats(jnp.asarray(patch)[None])
+    return correlate.elliptical_search_batch(
+        fsums, cross, sg0, sg0sq, jnp.asarray([0]),
+        jnp.asarray([centre]), jnp.asarray([sinv]), jnp.asarray([active]), B,
+        win_radius=win_radius,
+    )
 
 
 def test_nssd_map_bit_exact(scene):
@@ -27,14 +38,13 @@ def test_nssd_map_bit_exact(scene):
     )
     corr = np.asarray(corr[0])
     sd1 = np.asarray(sd1)
-    # check a grid of centres against the oracle, bit for bit
     for vc in range(5, 55, 7):
         for uc in range(5, 75, 11):
             c_ref, sdp_ref, sdi_ref = oracle.correlate2(patch, img, uc - 5, vc - 5)
             assert corr[vc, uc] == c_ref, (vc, uc)
             assert sd1[vc, uc] == sdi_ref
     c_ref0, sdp_ref0, _ = oracle.correlate2(patch, img, 30, 20)
-    assert c_ref0 == corr[25, 35] == 0.0 or c_ref0 == corr[25, 35]  # perfect match site
+    assert corr[25, 35] == c_ref0
     assert np.asarray(sd0)[0] == sdp_ref0
 
 
@@ -53,28 +63,26 @@ def test_elliptical_search_matches_oracle(scene):
     sinv = np.array([[0.08, 0.01], [0.01, 0.05]])
     for centre in ([35.3, 25.2], [33.0, 22.0], [6.0, 6.0], [74.0, 54.0]):
         found_o, u_o, v_o, best_o = oracle.elliptical_search(img, patch, centre, sinv, B)
-        corr, sd0, sd1, valid = correlate.correlation_maps(
-            jnp.asarray(img), jnp.asarray(patch)[None], B
-        )
-        res = correlate.elliptical_search_batch(
-            corr, sd0, sd1, valid,
-            jnp.asarray([centre]), jnp.asarray([sinv]), jnp.asarray([True]),
-        )
+        res = _windowed_search(img, patch, centre, sinv)
         assert bool(res.found[0]) == found_o, centre
         if found_o:
             assert (int(res.u[0]), int(res.v[0])) == (u_o, v_o), centre
             assert float(res.best[0]) == best_o
+        assert not bool(res.overflow[0])
 
 
 def test_elliptical_search_low_patch_sigma_fails(scene):
     img, _ = scene
     flatp = np.full((B, B), 100, np.uint8)
-    corr, sd0, sd1, valid = correlate.correlation_maps(jnp.asarray(img), jnp.asarray(flatp)[None], B)
-    res = correlate.elliptical_search_batch(
-        corr, sd0, sd1, valid,
-        jnp.asarray([[40.0, 30.0]]), jnp.asarray([np.eye(2) * 0.05]), jnp.asarray([True]),
-    )
+    res = _windowed_search(img, flatp, [40.0, 30.0], np.eye(2) * 0.05)
     assert not bool(res.found[0])
+
+
+def test_elliptical_search_overflow_flag(scene):
+    img, patch = scene
+    tiny_sinv = np.eye(2) * 1e-4  # 3-sigma extent ~300 px >> window cap
+    res = _windowed_search(img, patch, [40.0, 30.0], tiny_sinv, win_radius=10)
+    assert bool(res.overflow[0])
 
 
 def test_multi_ellipse_search_matches_oracle(scene):
@@ -82,15 +90,37 @@ def test_multi_ellipse_search_matches_oracle(scene):
     centres = [[35.0 + 3 * k, 25.0 + 0.5 * k] for k in range(6)]
     sinvs = [np.array([[0.2, 0.0], [0.0, 0.15]])] * 6
     res_o = oracle.multi_ellipse_search(img, patch, centres, sinvs, B)
-    corr, sd0, sd1, valid = correlate.correlation_maps(jnp.asarray(img), jnp.asarray(patch)[None], B)
-    found, u, v = correlate.multi_ellipse_search(
-        corr[0], sd1, valid, jnp.asarray(centres), jnp.asarray(sinvs),
-        jnp.ones(6, bool),
+    fsums = correlate.frame_sums(jnp.asarray(img), B)
+    cross = correlate.cross_sum_maps(jnp.asarray(img), jnp.asarray(patch)[None], B)
+    sg0, sg0sq = correlate.patch_stats(jnp.asarray(patch)[None])
+    found, u, v, over = correlate.multi_ellipse_search(
+        fsums, cross[0], sg0[0], sg0sq[0], jnp.asarray(centres), jnp.asarray(sinvs),
+        jnp.ones(6, bool), B, win_radius=16,
     )
     for k in range(6):
         assert bool(found[k]) == res_o[k][0], k
         if res_o[k][0]:
             assert (int(u[k]), int(v[k])) == (res_o[k][1], res_o[k][2]), k
+        assert not bool(over[k])
+
+
+def test_multi_ellipse_low_sigma_penalty():
+    """A flat image region adds +5.0 instead of skipping (multi-ellipse only)."""
+    rng = np.random.default_rng(5)
+    img = np.full((40, 60), 90, np.uint8)
+    img[:, :20] = rng.integers(0, 256, size=(40, 20)).astype(np.uint8)
+    patch = np.full((B, B), 90, np.uint8)  # flat patch matches flat region: corr 0 + 5
+    centres = [[40.0, 20.0]]
+    sinvs = [np.eye(2) * 0.1]
+    res_o = oracle.multi_ellipse_search(img, patch, centres, sinvs, B)
+    fsums = correlate.frame_sums(jnp.asarray(img), B)
+    cross = correlate.cross_sum_maps(jnp.asarray(img), jnp.asarray(patch)[None], B)
+    sg0, sg0sq = correlate.patch_stats(jnp.asarray(patch)[None])
+    found, u, v, over = correlate.multi_ellipse_search(
+        fsums, cross[0], sg0[0], sg0sq[0], jnp.asarray(centres), jnp.asarray(sinvs),
+        jnp.ones(1, bool), B, win_radius=16,
+    )
+    assert bool(found[0]) == res_o[0][0] == False  # 0 + 5 penalty > 0.40
 
 
 def test_shi_tomasi_matches_oracle(rng):
@@ -125,12 +155,9 @@ def test_tie_break_last_scan_order():
     patch = (np.arange(B * B, dtype=np.uint8) * 7 % 251).reshape(B, B)
     img[10:21, 10:21] = patch
     img[10:21, 30:41] = patch  # duplicate at larger u
-    corr, sd0, sd1, valid = correlate.correlation_maps(jnp.asarray(img), jnp.asarray(patch)[None], B)
-    big = np.array([[0.005, 0.0], [0.0, 0.05]])  # wide ellipse spans both
+    big = np.array([[0.005, 0.0], [0.0, 0.05]])
     centre = [25.0, 15.0]
     found_o, u_o, v_o, _ = oracle.elliptical_search(img, patch, centre, big, B)
-    res = correlate.elliptical_search_batch(
-        corr, sd0, sd1, valid, jnp.asarray([centre]), jnp.asarray([big]), jnp.asarray([True])
-    )
+    res = _windowed_search(img, patch, centre, big, win_radius=28)
     assert bool(res.found[0]) and found_o
     assert (int(res.u[0]), int(res.v[0])) == (u_o, v_o) == (35, 15)
