@@ -50,20 +50,42 @@ class ImageSequence:
     """Ordered grayscale frame source with background prefetch.
 
     Mirrors FrameGrabber::GetFrame/IsFrameBufferFull semantics (bounded
-    lookahead, producer thread) without the shared-state quirks.
+    lookahead, producer thread) without the shared-state quirks. When the
+    whole sequence is PGM and the native C++ grabber is built
+    (native/framegrabber.cpp), decoding + prefetch run off the GIL there.
     """
 
-    def __init__(self, path: str, prefetch: int = 50):
+    def __init__(self, path: str, prefetch: int = 50, use_native: bool = True):
         if os.path.isdir(path):
             self.files = _list_images(path)
         else:
             raise FileNotFoundError(f"provided directory doesn't exist: {path}")
         self.prefetch = prefetch
+        self.path = path
+        self._native = None
+        if use_native and self.files and all(
+            f.lower().endswith(".pgm") for f in self.files
+        ):
+            try:
+                from scenelib2_tpu.io import native as native_mod
+
+                if native_mod.available():
+                    self._native = native_mod
+            except Exception:
+                self._native = None
 
     def __len__(self) -> int:
         return len(self.files)
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        if self._native is not None:
+            grabber = self._native.NativeGrabber(self.path, self.prefetch)
+            try:
+                yield from grabber
+            finally:
+                grabber.close()
+            return
+
         q: _queue.Queue = _queue.Queue(maxsize=self.prefetch)
         stop = object()
 
@@ -82,4 +104,4 @@ class ImageSequence:
 
     def load_all(self) -> np.ndarray:
         """Load the full sequence as one [T,H,W] uint8 array (offline path)."""
-        return np.stack([_read_image(f) for f in self.files])
+        return np.stack(list(self))
