@@ -1,0 +1,154 @@
+"""Headless CLI driver — the example app's TPU-native replacement.
+
+The reference ships a Pangolin GUI binary (examples/MonoSlamSceneLib1.cpp:
+Continuous/Next/Stop buttons, Toggle Tracking, Enable Mapping, manual init,
+state printing, frame dumps). This driver runs the same workflows headless:
+
+  run        replay a sequence (tracking +/- mapping), dump trajectory,
+             per-frame metrics JSONL, optional checkpoints
+  bench      run the benchmark suite (scenelib2_tpu.eval.benchmark)
+  visualize  render a tracked run to a trajectory/map plot (matplotlib)
+  print-state  load a checkpoint and print xv / Pxx (print_robot_state)
+
+Usage:
+  python -m scenelib2_tpu.cli run --config data/SceneLib2.cfg --seq <dir> \
+      --frames 200 --out run_out --mapping
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def cmd_run(args):
+    from scenelib2_tpu import MonoSLAM
+    from scenelib2_tpu.io.sequence import ImageSequence
+
+    slam = MonoSLAM(args.config, max_features=args.max_features)
+    seq = ImageSequence(args.seq)
+    os.makedirs(args.out, exist_ok=True)
+    metrics_path = os.path.join(args.out, "metrics.jsonl")
+    t_start = time.perf_counter()
+    n = 0
+    with open(metrics_path, "w") as mf:
+        for i, frame in enumerate(seq):
+            if args.frames and i >= args.frames:
+                break
+            if i == 0 and args.skip_first:
+                continue
+            t0 = time.perf_counter()
+            slam.go_one_step(frame, save_trajectory=True, enable_mapping=args.mapping)
+            o = slam.last_output
+            rec = dict(
+                frame=i,
+                ms=round((time.perf_counter() - t0) * 1e3, 3),
+                n_visible=int(o.n_visible),
+                n_selected=int(o.n_selected),
+                n_matched=int(o.n_matched),
+                n_active=int(o.n_active),
+                n_partial=int(o.n_partial),
+                did_init=bool(o.did_init),
+                did_convert=bool(o.did_convert),
+                speed=round(float(o.speed), 4),
+                r=[round(float(v), 6) for v in np.asarray(o.r)],
+            )
+            mf.write(json.dumps(rec) + "\n")
+            n += 1
+            if args.verbose and i % 10 == 0:
+                print(json.dumps(rec), file=sys.stderr)
+    traj = slam.trajectory()
+    np.savez(os.path.join(args.out, "trajectory.npz"), r=traj)
+    if args.checkpoint:
+        slam.save_checkpoint(os.path.join(args.out, "final_state.npz"))
+    dt = time.perf_counter() - t_start
+    print(
+        json.dumps(
+            dict(frames=n, seconds=round(dt, 2), fps=round(n / dt, 2), out=args.out)
+        )
+    )
+
+
+def cmd_bench(args):
+    from scenelib2_tpu.eval.benchmark import run_all
+
+    run_all(args.names or None)
+
+
+def cmd_visualize(args):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    data = np.load(os.path.join(args.run, "trajectory.npz"))
+    traj = data["r"]
+    fig = plt.figure(figsize=(10, 4))
+    ax = fig.add_subplot(121, projection="3d")
+    ax.plot(traj[:, 0], traj[:, 1], traj[:, 2], "b-")
+    ax.scatter(traj[0, 0], traj[0, 1], traj[0, 2], c="g", label="start")
+    ax.scatter(traj[-1, 0], traj[-1, 1], traj[-1, 2], c="r", label="end")
+    ax.set_title("camera trajectory")
+    ax.legend()
+    ax2 = fig.add_subplot(122)
+    metrics = [json.loads(l) for l in open(os.path.join(args.run, "metrics.jsonl"))]
+    ax2.plot([m["frame"] for m in metrics], [m["n_matched"] for m in metrics], label="matched")
+    ax2.plot([m["frame"] for m in metrics], [m["n_active"] for m in metrics], label="map size")
+    ax2.set_xlabel("frame")
+    ax2.legend()
+    out = args.out or os.path.join(args.run, "run.png")
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    print(out)
+
+
+def cmd_print_state(args):
+    from scenelib2_tpu import MonoSLAM
+
+    slam = MonoSLAM(args.config)
+    slam.load_checkpoint(args.checkpoint)
+    slam.print_robot_state()
+    for row in slam.feature_table():
+        print(row)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="scenelib2_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="replay a sequence")
+    pr.add_argument("--config", required=True)
+    pr.add_argument("--seq", required=True)
+    pr.add_argument("--frames", type=int, default=0)
+    pr.add_argument("--out", default="run_out")
+    pr.add_argument("--max-features", type=int, default=16)
+    pr.add_argument("--mapping", action="store_true")
+    pr.add_argument("--no-skip-first", dest="skip_first", action="store_false")
+    pr.add_argument("--checkpoint", action="store_true")
+    pr.add_argument("--verbose", action="store_true")
+    pr.set_defaults(func=cmd_run, skip_first=True)
+
+    pb = sub.add_parser("bench", help="run benchmark suite")
+    pb.add_argument("names", nargs="*")
+    pb.set_defaults(func=cmd_bench)
+
+    pv = sub.add_parser("visualize", help="plot a finished run")
+    pv.add_argument("--run", required=True)
+    pv.add_argument("--out", default="")
+    pv.set_defaults(func=cmd_visualize)
+
+    ps = sub.add_parser("print-state", help="print xv/Pxx from a checkpoint")
+    ps.add_argument("--config", required=True)
+    ps.add_argument("--checkpoint", required=True)
+    ps.set_defaults(func=cmd_print_state)
+
+    args = p.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()
