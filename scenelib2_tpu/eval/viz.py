@@ -1,0 +1,127 @@
+"""Replay visualisation — the reference GraphicTool's headless analog.
+
+The reference renders with OpenGL/Pangolin (graphic/graphictool.cpp):
+  Draw3dScene — camera body, trajectory, map points, 3-sigma covariance
+                ellipsoids
+  DrawAR      — camera image with feature patches, active-search ellipses,
+                match points, init boxes
+
+Here the same observability comes from recorded StepOutputs + SlamState,
+rendered with matplotlib (AR overlays per frame, 3-D map plots) — strictly
+off the device path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _ellipse_points(S, n_sigma=3.0, n=48):
+    """Boundary of the n-sigma ellipse of a 2x2 covariance."""
+    w, V = np.linalg.eigh(S)
+    w = np.maximum(w, 0.0)
+    t = np.linspace(0, 2 * np.pi, n)
+    circ = np.stack([np.cos(t), np.sin(t)])
+    return (V @ (np.sqrt(w)[:, None] * circ)) * n_sigma
+
+
+def render_ar_frame(ax, frame: np.ndarray, out, boxsize: int = 11):
+    """Draw one frame's AR overlay onto a matplotlib Axes.
+
+    `out` is a single-frame StepOutputs slice (numpy-compatible fields).
+    Red ellipse = search region, green cross = accepted match, yellow box =
+    predicted patch position for unmatched features.
+    """
+    ax.imshow(frame, cmap="gray", vmin=0, vmax=255)
+    half = (boxsize - 1) // 2
+    sel_mask = np.asarray(out.sel_mask)
+    for k in range(len(sel_mask)):
+        if not sel_mask[k]:
+            continue
+        h = np.asarray(out.sel_h)[k]
+        S = np.asarray(out.sel_S)[k]
+        pts = _ellipse_points(S) + h[:, None]
+        ax.plot(pts[0], pts[1], "r-", lw=0.8)
+        if np.asarray(out.sel_matched)[k]:
+            z = np.asarray(out.sel_z)[k]
+            ax.plot([z[0]], [z[1]], "g+", ms=10, mew=2)
+            ax.add_patch(
+                __import__("matplotlib.patches", fromlist=["Rectangle"]).Rectangle(
+                    (z[0] - half, z[1] - half), boxsize, boxsize,
+                    fill=False, ec="lime", lw=0.8,
+                )
+            )
+        else:
+            ax.add_patch(
+                __import__("matplotlib.patches", fromlist=["Rectangle"]).Rectangle(
+                    (h[0] - half, h[1] - half), boxsize, boxsize,
+                    fill=False, ec="yellow", lw=0.8,
+                )
+            )
+    ax.set_xlim(0, frame.shape[1])
+    ax.set_ylim(frame.shape[0], 0)
+    ax.set_xticks([])
+    ax.set_yticks([])
+
+
+def render_map_3d(ax, state, trajectory: np.ndarray | None = None):
+    """3-D map points + camera trajectory + per-feature 3-sigma extents."""
+    from scenelib2_tpu.runtime import state as st
+
+    active = np.asarray(state.active)
+    full = np.asarray(state.full)
+    x = np.asarray(state.x)
+    P = np.asarray(state.P)
+    for i in range(len(active)):
+        if not active[i]:
+            continue
+        off = st.slot_offset(i)
+        if full[i]:
+            y = x[off : off + 3]
+            pyy = P[off : off + 3, off : off + 3]
+            sd = 3 * np.sqrt(np.maximum(np.diag(pyy), 0))
+            ax.scatter([y[0]], [y[1]], [y[2]], c="b", s=12)
+            for axis in range(3):
+                d = np.zeros(3)
+                d[axis] = sd[axis]
+                seg = np.stack([y - d, y + d])
+                ax.plot(seg[:, 0], seg[:, 1], seg[:, 2], "b-", lw=0.5, alpha=0.5)
+        else:
+            ri = x[off : off + 3]
+            hhat = x[off + 3 : off + 6]
+            lam = np.asarray(state.lam[i])
+            prob = np.asarray(state.prob[i])
+            alive = np.asarray(state.palive[i])
+            if alive.any():
+                pts = ri[None, :] + lam[alive, None] * hhat[None, :]
+                ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c="m", s=4,
+                           alpha=np.clip(prob[alive] / max(prob[alive].max(), 1e-12), 0.05, 1.0))
+    if trajectory is not None and len(trajectory):
+        ax.plot(trajectory[:, 0], trajectory[:, 1], trajectory[:, 2], "g-", lw=1)
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_zlabel("z")
+
+
+def save_ar_video_frames(frames, outs, out_dir: str, boxsize: int = 11, every: int = 1):
+    """Dump AR overlay PNGs for a recorded run (outs = stacked StepOutputs)."""
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import jax
+
+    os.makedirs(out_dir, exist_ok=True)
+    T = len(frames)
+    paths = []
+    for t in range(0, T, every):
+        o_t = jax.tree_util.tree_map(lambda a: np.asarray(a)[t], outs)
+        fig, ax = plt.subplots(figsize=(5, 4))
+        render_ar_frame(ax, frames[t], o_t, boxsize)
+        p = os.path.join(out_dir, f"ar_{t:04d}.png")
+        fig.savefig(p, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        paths.append(p)
+    return paths

@@ -69,12 +69,21 @@ class MonoSLAM:
     # reference-style aliases
     GoOneStep = go_one_step
 
+    def reset(self, seed: int = 0) -> None:
+        """Reinitialise the filter from the config (keeps compiled graphs)."""
+        self.state = st.init_from_config(self.config, seed=seed)
+        self.trajectory_store = []
+        self.marked_feature_label = -1
+
     def run_sequence(self, frames: np.ndarray, enable_mapping: bool = True,
                      chunk: int = 0):
         """Offline fast path: lax.scan over a [T,H,W] frame stack.
 
         Returns StepOutputs with a leading time axis. State stays on device
-        for the whole run; this is the 500+ fps benchmark path.
+        for the whole run; this is the 500+ fps benchmark path. With
+        chunk > 0 the scan is compiled once for the chunk length and reused
+        (plus one extra compile for the remainder), so arbitrary sequence
+        lengths don't trigger fresh compiles.
         """
         frames = jnp.asarray(frames, jnp.uint8)
         if self._scan is None:
@@ -82,7 +91,23 @@ class MonoSLAM:
             self._scan = jax.jit(
                 lambda s, f, em: jax.lax.scan(lambda s_, fr: step(s_, fr, em), s, f)
             )
-        self.state, outs = self._scan(self.state, frames, jnp.asarray(enable_mapping))
+        em = jnp.asarray(enable_mapping)
+        if chunk and len(frames) >= chunk:
+            # full chunks through one compiled scan; remainder via the
+            # (already compiled) single-step jit
+            outs_list = []
+            n_full = (len(frames) // chunk) * chunk
+            for pos in range(0, n_full, chunk):
+                self.state, o = self._scan(self.state, frames[pos : pos + chunk], em)
+                outs_list.append(o)
+            for i in range(n_full, len(frames)):
+                self.state, o = self._step(self.state, frames[i], em)
+                outs_list.append(jax.tree_util.tree_map(lambda a: a[None], o))
+            outs = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *outs_list
+            )
+        else:
+            self.state, outs = self._scan(self.state, frames, em)
         self.last_output = jax.tree_util.tree_map(lambda a: a[-1], outs)
         rs = np.asarray(outs.r)
         self.trajectory_store.extend(list(rs))

@@ -52,6 +52,14 @@ class StepOutputs(NamedTuple):
     n_partial: jnp.ndarray    # [] i32
     did_init: jnp.ndarray     # [] bool — new partial feature created
     did_convert: jnp.ndarray  # [] bool — some ray became a 3D point
+    n_overflow: jnp.ndarray   # [] i32 — searches that hit the window cap
+    # per-frame AR diagnostics (GraphicTool::DrawAR analog inputs)
+    sel_slot: jnp.ndarray     # [NSEL] i32 selected slot ids (garbage where !sel)
+    sel_mask: jnp.ndarray     # [NSEL] bool
+    sel_h: jnp.ndarray        # [NSEL,2] predicted image positions
+    sel_S: jnp.ndarray        # [NSEL,2,2] innovation covariances
+    sel_z: jnp.ndarray        # [NSEL,2] matched pixel (valid where matched)
+    sel_matched: jnp.ndarray  # [NSEL] bool
 
 
 def make_step(params: Params, dtype=jnp.float64):
@@ -205,6 +213,13 @@ def make_step(params: Params, dtype=jnp.float64):
             n_partial=jnp.sum(mid_state.active & ~mid_state.full).astype(jnp.int32),
             did_init=did_init,
             did_convert=did_convert,
+            n_overflow=jnp.sum(search.overflow).astype(jnp.int32),
+            sel_slot=top_idx.astype(jnp.int32),
+            sel_mask=sel_mask,
+            sel_h=h_all[top_idx],
+            sel_S=S_all[top_idx],
+            sel_z=z_sel,
+            sel_matched=succ,
         )
         return mid_state._replace(frame_no=mid_state.frame_no + 1), out
 
