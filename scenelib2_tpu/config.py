@@ -181,8 +181,9 @@ def load_config(path: str, data_dir: str | None = None, **param_overrides) -> Sl
         erase_partial_after_attempts=_get(
             raw, "params.erase_partially_init_feature_after_this_many_attempts", 10, int
         ),
-        **param_overrides,
     )
+    if param_overrides:
+        p = dataclasses.replace(p, **param_overrides)
 
     xv0 = np.array(
         [

@@ -50,6 +50,7 @@ class MonoSLAM:
         self._scan = None
         self.trajectory_store: list[np.ndarray] = []
         self.marked_feature_label = -1
+        self.selected_labels: set[int] = set()
         self.last_output: step_mod.StepOutputs | None = None
 
     # ------------------------------------------------------------------ API
@@ -153,6 +154,22 @@ class MonoSLAM:
     def mark_feature_by_lab(self, label: int) -> None:
         if label == -1 or self._slot_of_label(label) is not None:
             self.marked_feature_label = label
+
+    def toggle_feature_lab(self, label: int) -> bool:
+        """Manual (de)selection bookkeeping (reference monoslam.cpp:710-724).
+
+        As in the reference, auto-selection clears the selected set at the
+        start of every GoOneStep, so manual toggles only matter for
+        inspection flows between steps.
+        """
+        slot = self._slot_of_label(label)
+        if slot is None:
+            return False
+        if label in self.selected_labels:
+            self.selected_labels.discard(label)
+        else:
+            self.selected_labels.add(label)
+        return True
 
     def delete_feature(self, label: int | None = None) -> bool:
         """Delete the marked (or given-label) feature (monoslam.cpp:770-812)."""
