@@ -14,7 +14,7 @@ from scenelib2_tpu.runtime import step as step_mod
 from tests.oracle_monoslam import Cam, Feat, OracleMonoSLAM
 
 PARAMS = Params(max_features=16)
-N_FRAMES = 14
+N_FRAMES = 24
 
 
 @pytest.fixture(scope="module")
@@ -26,6 +26,13 @@ def world():
     frames = np.stack(
         [synthetic.render_frame(PARAMS, tex, rs[i], qs[i], scale) for i in range(N_FRAMES)]
     )
+    # occlude the first known feature from frame 3 on so its matches fail and
+    # the delete-bad path (>=10 attempts, <50% success) fires in both
+    # implementations
+    for i in range(3, N_FRAMES):
+        h = synthetic.project_point(PARAMS, synthetic.KNOWN_POINTS[0], rs[i], qs[i])
+        uu, vv = int(round(h[0])), int(round(h[1]))
+        frames[i, max(0, vv - 16) : vv + 16, max(0, uu - 16) : uu + 16] = 128
 
     xv0 = np.zeros(13)
     xv0[:3] = rs[0]
@@ -96,6 +103,17 @@ def test_lifecycle_events_fire(runs):
     jconv = sum(bool(o.did_convert) for o in jouts)
     assert jinits == events["inits"]
     assert jconv == events["conversions"]
+
+
+def test_bad_feature_deleted_in_both(runs):
+    """The occluded known feature must be pruned by the failure-rate rule in
+    both implementations (monoslam.cpp:644-660)."""
+    oracle, ostats, events, jstates, jouts = runs
+    oracle_labels = {f.label for f in oracle.feats}
+    assert 0 not in oracle_labels, "oracle should have deleted feature 0"
+    s = jstates[-1]
+    jax_labels = {int(l) for l, a in zip(np.asarray(s.label), np.asarray(s.active)) if a}
+    assert 0 not in jax_labels, "jax pipeline should have deleted feature 0"
 
 
 def test_per_frame_decisions(runs):
