@@ -33,6 +33,13 @@ def cmd_run(args):
     slam = MonoSLAM(args.config, max_features=args.max_features)
     seq = ImageSequence(args.seq)
     os.makedirs(args.out, exist_ok=True)
+    profiler_ctx = None
+    if args.profile:
+        import jax
+
+        profile_dir = os.path.join(args.out, "profile")
+        jax.profiler.start_trace(profile_dir)
+        profiler_ctx = profile_dir
     metrics_path = os.path.join(args.out, "metrics.jsonl")
     t_start = time.perf_counter()
     n = 0
@@ -62,6 +69,11 @@ def cmd_run(args):
             n += 1
             if args.verbose and i % 10 == 0:
                 print(json.dumps(rec), file=sys.stderr)
+    if profiler_ctx:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"# profile trace: {profiler_ctx}", file=sys.stderr)
     traj = slam.trajectory()
     np.savez(os.path.join(args.out, "trajectory.npz"), r=traj)
     if args.checkpoint:
@@ -130,6 +142,7 @@ def main(argv=None):
     pr.add_argument("--no-skip-first", dest="skip_first", action="store_false")
     pr.add_argument("--checkpoint", action="store_true")
     pr.add_argument("--verbose", action="store_true")
+    pr.add_argument("--profile", action="store_true", help="write a jax.profiler trace")
     pr.set_defaults(func=cmd_run, skip_first=True)
 
     pb = sub.add_parser("bench", help="run benchmark suite")

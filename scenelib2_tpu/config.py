@@ -119,8 +119,8 @@ class Params:
     # static window caps for the masked searches (the reference's dynamic
     # 3-sigma boxes are data-dependent; candidates beyond the cap are dropped
     # and counted — stock-workload extents stay well inside)
-    search_win_radius: int = 45
-    particle_win_radius: int = 16
+    search_win_radius: int = 32
+    particle_win_radius: int = 10
 
     @property
     def state_dim(self) -> int:

@@ -63,6 +63,68 @@ def structure_tensor_maps(image_u8: jnp.ndarray, boxsize: int):
     return pad(sxx4), pad(syy4), pad(sxy4), valid
 
 
+def structure_tensor_sums_f32(image_u8: jnp.ndarray, boxsize: int):
+    """Raw 4x box-summed gradient products as centre-padded f32 maps (exact
+    integers; the f64 /4 + eigenvalue math is applied later on gathered
+    windows only). Returns (sxx4, syy4, sxy4) each [H,W] f32."""
+    H, W = image_u8.shape
+    half = (boxsize - 1) // 2
+    img = image_u8.astype(jnp.float32)
+    gx2 = img[:, 2:] - img[:, :-2]
+    gy2 = img[2:, :] - img[:-2, :]
+    gx2i = gx2[1:-1, :]
+    gy2i = gy2[:, 1:-1]
+    sxx4 = _box_sum_valid(gx2i * gx2i, boxsize)
+    syy4 = _box_sum_valid(gy2i * gy2i, boxsize)
+    sxy4 = _box_sum_valid(gx2i * gy2i, boxsize)
+    off = 1 + half
+    pad = lambda m: jnp.pad(m, ((off, H - m.shape[0] - off), (off, W - m.shape[1] - off)))
+    return pad(sxx4), pad(syy4), pad(sxy4)
+
+
+def find_best_patch_region_windowed(
+    sums_f32,                 # (sxx4, syy4, sxy4) from structure_tensor_sums_f32
+    image_shape,              # (H, W)
+    boxsize: int,
+    ustart, vstart, ufinish, vfinish,  # traced ints, already clamped
+    region_w: int, region_h: int,      # static max region extents
+):
+    """Windowed Shi-Tomasi argmax: the f64 eigenvalue formula runs only on a
+    static [region_h, region_w] window gathered at the region origin.
+    Semantics identical to find_best_patch_in_region."""
+    from jax import lax
+
+    H, W = image_shape
+    half = (boxsize - 1) // 2
+    off = 1 + half
+    u0 = jnp.clip(ustart, 0, max(W - region_w, 0)).astype(jnp.int32)
+    v0 = jnp.clip(vstart, 0, max(H - region_h, 0)).astype(jnp.int32)
+    sxx4, syy4, sxy4 = sums_f32
+    gw = lambda m: lax.dynamic_slice(m, (v0, u0), (region_h, region_w))
+    A = gw(sxx4).astype(jnp.float64) * 0.25
+    C = gw(syy4).astype(jnp.float64) * 0.25
+    Bq = gw(sxy4).astype(jnp.float64) * 0.25
+    BB = jnp.sqrt((A + C) * (A + C) - 4.0 * (A * C - Bq * Bq))
+    ev = (A + C - BB) / 2.0
+
+    uu = u0 + jnp.arange(region_w, dtype=jnp.int32)[None, :]
+    vv = v0 + jnp.arange(region_h, dtype=jnp.int32)[:, None]
+    mask = (
+        (uu >= ustart) & (uu < ufinish) & (vv >= vstart) & (vv < vfinish)
+        & (uu >= off) & (uu <= W - 1 - off) & (vv >= off) & (vv <= H - 1 - off)
+    )
+    vals = jnp.where(mask, ev, -jnp.inf)
+    best = vals.max()
+    key = vv.astype(jnp.int64) * jnp.int64(W) + uu.astype(jnp.int64)
+    tie = (vals == best) & mask
+    kbest = jnp.where(tie, key, jnp.iinfo(jnp.int64).max).min()
+    found = best > 0.0
+    ubest = jnp.where(found, (kbest % W).astype(jnp.int32), ustart.astype(jnp.int32))
+    vbest = jnp.where(found, (kbest // W).astype(jnp.int32), vstart.astype(jnp.int32))
+    evbest = jnp.where(found, best, 0.0)
+    return ubest, vbest, evbest
+
+
 def min_eigenvalue_map(sxx: jnp.ndarray, syy: jnp.ndarray, sxy: jnp.ndarray) -> jnp.ndarray:
     """Smaller eigenvalue of [[A,B],[B,C]] (monoslam.cpp:1198-1205)."""
     A, B, C = sxx, sxy, syy

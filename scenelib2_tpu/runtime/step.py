@@ -112,13 +112,22 @@ def make_step(params: Params, dtype=jnp.float64):
         sel_mask = top_score > _NEG_INF
         n_selected = jnp.sum(sel_mask).astype(jnp.int32)
 
-        # ---- 3. integer sum maps (ONE launch for all slots) + windowed search
+        # ---- 3. integer sum maps + windowed search ---------------------------
+        # Cross-sum maps are computed ONLY for the slots that can be searched
+        # this frame: the NSEL selected features + the MAXP partial slots
+        # (identified up front; a feature initialised later this frame is
+        # never searched on its first frame — monoslam.cpp:1366).
+        MAXP = max(1, params.max_features_to_init_at_once)
+        pvals, pidx = lax.top_k((state.active & ~state.full).astype(jnp.int32), MAXP)
+        pmask = pvals > 0
+        needed = jnp.concatenate([top_idx, pidx])
         fsums = correlate.frame_sums(frame_u8, B)
-        cross_maps = correlate.cross_sum_maps(frame_u8, state.patches, B)
-        sg0_all, sg0sq_all = correlate.patch_stats(state.patches)
+        cross_maps = correlate.cross_sum_maps(frame_u8, state.patches[needed], B)
+        sg0_need, sg0sq_need = correlate.patch_stats(state.patches[needed])
         sinv_sel = jax.vmap(ekf.inv2x2_via_chol)(S_all[top_idx])
         search = correlate.elliptical_search_batch(
-            fsums, cross_maps, sg0_all, sg0sq_all, top_idx,
+            fsums, cross_maps, sg0_need, sg0sq_need,
+            jnp.arange(NSEL, dtype=jnp.int32),
             h_all[top_idx], sinv_sel, sel_mask, B,
             win_radius=params.search_win_radius,
             no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
@@ -198,7 +207,8 @@ def make_step(params: Params, dtype=jnp.float64):
 
         # ---- 8. match partially-initialised features --------------------------
         mid_state, did_convert = _match_partial_features(
-            mid_state, fsums, cross_maps, sg0_all, sg0sq_all, cam, params, dtype
+            mid_state, fsums, cross_maps[NSEL:], sg0_need[NSEL:], sg0sq_need[NSEL:],
+            pidx, pmask, cam, params, dtype
         )
 
         out = StepOutputs(
@@ -306,13 +316,15 @@ def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Para
     region_us = us_all[first_ok]
     region_vs = vs_all[first_ok]
 
-    # Shi-Tomasi best patch inside the region (monoslam.cpp:1043-1205)
-    sxx, syy, sxy, stvalid = shi_tomasi.structure_tensor_maps(frame_u8, B)
-    ev_map = shi_tomasi.min_eigenvalue_map(sxx, syy, sxy)
+    # Shi-Tomasi best patch inside the region (monoslam.cpp:1043-1205);
+    # f32 sum maps over the whole frame, f64 eigen math on the region window
+    st_sums = shi_tomasi.structure_tensor_sums_f32(frame_u8, B)
     ru, rv, ruf, rvf = shi_tomasi.clamp_region(
         region_us, region_vs, region_us + RW, region_vs + RH, W, H, B
     )
-    ubest, vbest, evbest = shi_tomasi.find_best_patch_in_region(ev_map, stvalid, ru, rv, ruf, rvf)
+    ubest, vbest, evbest = shi_tomasi.find_best_patch_region_windowed(
+        st_sums, (H, W), B, ru, rv, ruf, rvf, region_w=RW, region_h=RH
+    )
 
     do_init = any_ok & (evbest > params.init_patch_score_thresh)
     patch = lax.dynamic_slice(frame_u8, (vbest - half, ubest - half), (B, B))
@@ -328,14 +340,19 @@ def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Para
 # ---------------------------------------------------------------------------
 
 
-def _match_partial_features(state: SlamState, fsums, cross_maps, sg0_all, sg0sq_all,
-                            cam: CameraParams, params: Params, dtype):
+def _match_partial_features(state: SlamState, fsums, cross_part, sg0_part, sg0sq_part,
+                            pidx, pmask, cam: CameraParams, params: Params, dtype):
+    """Particle matching on the compact partial-slot set.
+
+    pidx/pmask identify the (at most max_features_to_init_at_once) partial
+    slots as of the START of the frame; a feature auto-initialised THIS frame
+    is deliberately absent — the reference never measures a partial feature
+    on its first frame (monoslam.cpp:1366) and its fresh counters cannot
+    trigger deletion. cross_part/sg0_part are its rows of the cross-sum maps.
+    """
     MF = params.max_features
     NP = params.n_particles
-    # At most max_features_to_init_at_once partial features can exist (the
-    # auto-init gate enforces it), so the particle work runs on a compact
-    # set of MAXP candidate slots instead of all MF.
-    MAXP = min(MF, params.max_features_to_init_at_once + 1)
+    MAXP = pidx.shape[0]
     x, P = state.x, state.P
     xp = x[:7]
     Pxx = P[:CAM_DIM, :CAM_DIM]
@@ -344,8 +361,6 @@ def _match_partial_features(state: SlamState, fsums, cross_maps, sg0_all, sg0sq_
     making_all = is_partial & (state.match_attempts != 0)
     match_attempts = jnp.where(is_partial, state.match_attempts + 1, state.match_attempts)
 
-    pvals, pidx = lax.top_k(is_partial.astype(jnp.int32), MAXP)
-    pmask = pvals > 0                                   # [MAXP]
     making = pmask & making_all[pidx]                   # [MAXP]
 
     ys6 = st.slot_states(x, MF)[pidx]                   # [MAXP,6]
@@ -371,9 +386,9 @@ def _match_partial_features(state: SlamState, fsums, cross_maps, sg0_all, sg0sq_
     hpi, sinv, dets = jax.vmap(per_slot)(ys6, pxy6, pyy6, lam_c)
     # hpi [MAXP,NP,2], sinv [MAXP,NP,2,2], dets [MAXP,NP]
 
-    def search_slot(idx, h_f, sinv_f, alive_f, making_f):
+    def search_slot(cross_j, sg0_j, sg0sq_j, h_f, sinv_f, alive_f, making_f):
         return correlate.multi_ellipse_search(
-            fsums, cross_maps[idx], sg0_all[idx], sg0sq_all[idx],
+            fsums, cross_j, sg0_j, sg0sq_j,
             h_f, sinv_f, alive_f & making_f, params.boxsize,
             win_radius=params.particle_win_radius,
             no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
@@ -381,7 +396,9 @@ def _match_partial_features(state: SlamState, fsums, cross_maps, sg0_all, sg0sq_
             low_sigma_penalty=params.low_sigma_penalty,
         )
 
-    found, zu, zv, _over = jax.vmap(search_slot)(pidx, hpi, sinv, palive_c, making)
+    found, zu, zv, _over = jax.vmap(search_slot)(
+        cross_part, sg0_part, sg0sq_part, hpi, sinv, palive_c, making
+    )
     z = jnp.stack([zu, zv], axis=-1).astype(dtype)          # [MAXP,NP,2]
 
     # Bayes update of particle probabilities (monoslam.cpp:1446-1493)

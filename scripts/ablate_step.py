@@ -34,13 +34,16 @@ def time_variant(name, params, s0, frames, patches):
     step = step_mod.make_step(params)
     scan = jax.jit(lambda s, f: jax.lax.scan(lambda c, x: step(c, x, True), s, f))
     fstack = jnp.asarray(frames, jnp.uint8)
-    s1, _ = scan(s0, fstack[:4])
+    s1, _ = scan(s0, fstack)  # same-shape warmup (compile)
     jax.block_until_ready(s1.x)
     t0 = time.perf_counter()
     s2, outs = scan(s0, fstack)
     jax.block_until_ready(s2.x)
     dt = (time.perf_counter() - t0) / len(frames) * 1000
-    print(f"{name:28s} {dt:7.2f} ms/frame   matched={float(np.asarray(outs.n_matched).mean()):.2f}")
+    print(
+        f"{name:28s} {dt:7.2f} ms/frame   matched={float(np.asarray(outs.n_matched).mean()):.2f}",
+        flush=True,
+    )
     return dt
 
 
