@@ -250,12 +250,11 @@ def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Para
     RW, RH = params.init_search_width, params.init_search_height
     x = state.x
 
-    # roll the motion model forward (monoslam.cpp:880-883)
-    def roll(xv, _):
-        fv, _F = motion.func_fv_and_dfv_by_dxv(xv, jnp.zeros(3, xv.dtype), params.delta_t)
-        return fv, None
-
-    xv_fut, _ = lax.scan(roll, x[:CAM_DIM], None, length=params.init_steps_to_predict)
+    # roll the motion model forward (monoslam.cpp:880-883); unrolled — a
+    # 10-iteration lax.scan of 13-dim ops costs ~0.8 ms/frame as a TPU while
+    xv_fut = x[:CAM_DIM]
+    for _ in range(params.init_steps_to_predict):
+        xv_fut, _F = motion.func_fv_and_dfv_by_dxv(xv_fut, jnp.zeros(3, x.dtype), params.delta_t)
     yW = xv_fut[0:3] + quat_to_rotation_matrix(xv_fut[3:7]) @ jnp.array(
         [0.0, 0.0, params.init_depth_hypothesis], x.dtype
     )
@@ -450,11 +449,10 @@ def _match_partial_features(state: SlamState, fsums, cross_part, sg0_part, sg0sq
         prob=prob_full, palive=palive_full, match_attempts=match_attempts
     )
 
-    # conversions, one compact row at a time (disjoint slots)
-    def conv_body(j, s):
-        return st.convert_feature(s, pidx[j], mean[j], cov[j], convert_mask[j])
-
-    state = lax.fori_loop(0, MAXP, conv_body, state)
+    # conversions, one compact row at a time (disjoint slots; MAXP is tiny —
+    # unrolled python loop, no device loop machinery)
+    for j in range(MAXP):
+        state = st.convert_feature(state, pidx[j], mean[j], cov[j], convert_mask[j])
     did_convert = jnp.any(convert_mask)
 
     # deletions: all-zero-probability features (monoslam.cpp:1486-1493) and
