@@ -108,5 +108,5 @@ def run_parity_eval(n_frames: int = 40, seed: int = 7, params=None) -> dict:
         rmse_vs_oracle=trajectory_rmse(jtraj, otraj),
         decision_agreement=agree / (n_frames - 1),
         ate_vs_ground_truth=ate_stats(jtraj, rs[1:n_frames]),
-        drand48_in_lockstep=bool(int(s.rng) == oracle.rng.state()),
+        drand48_in_lockstep=bool(__import__('scenelib2_tpu.rng', fromlist=['unpack_state']).unpack_state(s.rng) == oracle.rng.state()),
     )

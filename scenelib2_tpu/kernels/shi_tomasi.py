@@ -97,6 +97,8 @@ def find_best_patch_region_windowed(
     H, W = image_shape
     half = (boxsize - 1) // 2
     off = 1 + half
+    region_w = min(region_w, W)
+    region_h = min(region_h, H)
     u0 = jnp.clip(ustart, 0, max(W - region_w, 0)).astype(jnp.int32)
     v0 = jnp.clip(vstart, 0, max(H - region_h, 0)).astype(jnp.int32)
     sxx4, syy4, sxy4 = sums_f32
@@ -115,9 +117,9 @@ def find_best_patch_region_windowed(
     )
     vals = jnp.where(mask, ev, -jnp.inf)
     best = vals.max()
-    key = vv.astype(jnp.int64) * jnp.int64(W) + uu.astype(jnp.int64)
+    key = vv.astype(jnp.int32) * jnp.int32(W) + uu.astype(jnp.int32)
     tie = (vals == best) & mask
-    kbest = jnp.where(tie, key, jnp.iinfo(jnp.int64).max).min()
+    kbest = jnp.where(tie, key, jnp.iinfo(jnp.int32).max).min()
     found = best > 0.0
     ubest = jnp.where(found, (kbest % W).astype(jnp.int32), ustart.astype(jnp.int32))
     vbest = jnp.where(found, (kbest // W).astype(jnp.int32), vstart.astype(jnp.int32))
@@ -162,9 +164,9 @@ def find_best_patch_in_region(
     mask = region & valid
     vals = jnp.where(mask, ev_map, -jnp.inf)
     best = vals.max()
-    key = vv.astype(jnp.int64) * jnp.int64(W) + uu.astype(jnp.int64)  # scan order (v, u)
+    key = vv.astype(jnp.int32) * jnp.int32(W) + uu.astype(jnp.int32)  # scan order (v, u)
     tie = (vals == best) & mask
-    kbest = jnp.where(tie, key, jnp.iinfo(jnp.int64).max).min()
+    kbest = jnp.where(tie, key, jnp.iinfo(jnp.int32).max).min()
     found = best > 0.0
     ubest = jnp.where(found, (kbest % W).astype(jnp.int32), ustart.astype(jnp.int32))
     vbest = jnp.where(found, (kbest // W).astype(jnp.int32), vstart.astype(jnp.int32))

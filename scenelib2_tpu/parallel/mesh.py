@@ -66,9 +66,9 @@ def replicate_states(state: st.SlamState, batch: int) -> st.SlamState:
     stacked = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a, (batch,) + a.shape).copy(), state
     )
-    from scenelib2_tpu.rng import srand48
+    from scenelib2_tpu.rng import pack_state, srand48
 
-    rngs = jnp.asarray([srand48(i) for i in range(batch)], jnp.uint64)
+    rngs = jnp.asarray(np.stack([pack_state(srand48(i)) for i in range(batch)]))
     return stacked._replace(rng=rngs)
 
 

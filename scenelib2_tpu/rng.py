@@ -19,6 +19,16 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+__all__ = [
+    "srand48",
+    "Drand48",
+    "pack_state",
+    "unpack_state",
+    "drand48_step",
+    "drand48_many",
+    "host_drand48_sequence",
+]
+
 _A = 0x5DEECE66D
 _C = 0xB
 _MASK = (1 << 48) - 1
@@ -43,17 +53,53 @@ class Drand48:
         return self.x
 
 
+def pack_state(x: int) -> np.ndarray:
+    """48-bit LCG state as three 16-bit limbs in a uint32[3] array
+    (works identically with and without x64 mode)."""
+    return np.array([x & 0xFFFF, (x >> 16) & 0xFFFF, (x >> 32) & 0xFFFF], np.uint32)
+
+
+def unpack_state(limbs) -> int:
+    l = [int(v) for v in np.asarray(limbs)]
+    return l[0] | (l[1] << 16) | (l[2] << 32)
+
+
 def drand48_step(state: jnp.ndarray):
-    """One device-side draw: returns (new_state, value in [0,1))."""
-    state = state.astype(jnp.uint64)
-    new = (state * jnp.uint64(_A) + jnp.uint64(_C)) & jnp.uint64(_MASK)
-    # Exact: 48-bit integers are exactly representable in float64.
-    val = new.astype(jnp.float64) * (1.0 / float(1 << 48))
+    """One device-side draw on uint32 16-bit limbs: (new_state[3], value).
+
+    16x16-bit partial products fit uint32 exactly, so the 48-bit LCG is exact
+    without uint64 (which JAX lacks when x64 is disabled — the fast f32 mode).
+    The returned value is new_state / 2^48 in the default float dtype.
+    """
+    s0 = state[0]
+    s1 = state[1]
+    s2 = state[2]
+    a0 = jnp.uint32(_A & 0xFFFF)
+    a1 = jnp.uint32((_A >> 16) & 0xFFFF)
+    a2 = jnp.uint32((_A >> 32) & 0xFFFF)
+    M16 = jnp.uint32(0xFFFF)
+
+    p0 = s0 * a0 + jnp.uint32(_C)
+    r0 = p0 & M16
+    carry = p0 >> jnp.uint32(16)
+    p1 = s0 * a1 + s1 * a0 + carry
+    r1 = p1 & M16
+    carry = p1 >> jnp.uint32(16)
+    p2 = s0 * a2 + s1 * a1 + s2 * a0 + carry
+    r2 = p2 & M16
+    new = jnp.stack([r0, r1, r2]).astype(jnp.uint32)
+    # exact in f64 (x64 mode); in f32 fast mode the value rounds, which only
+    # shifts the random init region by <=1 px — documented fast-mode delta
+    val = (
+        r2.astype(jnp.float64) * (65536.0 * 65536.0)
+        + r1.astype(jnp.float64) * 65536.0
+        + r0.astype(jnp.float64)
+    ) * (1.0 / float(1 << 48))
     return new, val
 
 
 def drand48_many(state: jnp.ndarray, n: int):
-    """Draw n values; returns (states[n], values[n]).
+    """Draw n values; returns (states[n,3], values[n]).
 
     states[i] is the LCG state after i+1 draws, so callers that consume a
     data-dependent number k of draws can select states[k-1] (or the original

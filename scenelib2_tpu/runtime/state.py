@@ -42,7 +42,7 @@ from scenelib2_tpu.config import Params, SlamConfig
 from scenelib2_tpu.core import models
 from scenelib2_tpu.core.camera import CameraParams, measurement_noise
 from scenelib2_tpu.io.pgm import read_pgm
-from scenelib2_tpu.rng import srand48
+from scenelib2_tpu.rng import pack_state, srand48
 
 CAM_DIM = 13
 SLOT_DIM = 6
@@ -70,7 +70,7 @@ class SlamState(NamedTuple):
     palive: jnp.ndarray         # [MF,NP] bool particle alive mask
     match_attempts: jnp.ndarray  # [MF] i32 FeatureInitInfo::number_of_match_attempts_
     # misc
-    rng: jnp.ndarray        # [] u64 drand48 state
+    rng: jnp.ndarray        # [3] u32 16-bit-limb drand48 state
     next_label: jnp.ndarray  # [] i32
     frame_no: jnp.ndarray   # [] i32
 
@@ -100,7 +100,7 @@ def init_state(params: Params, xv0, pxx0, seed: int = 0) -> SlamState:
         prob=jnp.zeros((MF, NP), jnp.float64),
         palive=jnp.zeros((MF, NP), bool),
         match_attempts=jnp.zeros(MF, jnp.int32),
-        rng=jnp.uint64(srand48(seed)),
+        rng=jnp.asarray(pack_state(srand48(seed))),
         next_label=jnp.int32(0),
         frame_no=jnp.int32(0),
     )

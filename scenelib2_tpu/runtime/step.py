@@ -310,7 +310,9 @@ def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Para
     consumed = jnp.where(
         attempt_search, jnp.where(jnp.any(ok_all), 2 * (first_ok + 1), 2 * tries), 0
     )
-    rng_new = jnp.where(consumed == 0, state.rng, states_r[jnp.maximum(consumed - 1, 0)])
+    rng_new = jnp.where(
+        consumed == 0, state.rng, states_r[jnp.maximum(consumed - 1, 0)]
+    )  # state.rng is [3] u32 limbs; broadcast over limbs
 
     region_us = us_all[first_ok]
     region_vs = vs_all[first_ok]

@@ -92,11 +92,11 @@ int main() { srand48(0); for (int i = 0; i < 20; ++i) printf("%.17g\n", drand48(
 def test_drand48_device_matches_host():
     import jax.numpy as jnp
 
-    from scenelib2_tpu.rng import drand48_many
+    from scenelib2_tpu.rng import drand48_many, pack_state, unpack_state
 
-    states, vals = drand48_many(jnp.uint64(srand48(0)), 10)
+    states, vals = drand48_many(jnp.asarray(pack_state(srand48(0))), 10)
     host = Drand48(0)
     for i in range(10):
         hv = host.next()
         assert float(vals[i]) == hv
-        assert int(states[i]) == host.state()
+        assert unpack_state(states[i]) == host.state()

@@ -55,4 +55,4 @@ def test_replicate_states_rng_offsets(devices_ok):
     s = st.init_state(p, np.zeros(13), np.eye(13))
     sb = pmesh.replicate_states(s, 4)
     assert sb.x.shape == (4, p.state_dim)
-    assert len(set(np.asarray(sb.rng).tolist())) == 4  # distinct streams
+    assert len({tuple(r) for r in np.asarray(sb.rng)}) == 4  # distinct streams

@@ -155,7 +155,8 @@ def test_camera_state_parity(runs):
 
 def test_drand48_stream_parity(runs):
     oracle, ostats, jstates, jouts = runs
-    assert int(jstates[-1].rng) == oracle.rng.state(), "drand48 streams diverged"
+    from scenelib2_tpu.rng import unpack_state
+    assert unpack_state(jstates[-1].rng) == oracle.rng.state(), "drand48 streams diverged"
 
 
 def test_covariance_parity(runs):

@@ -163,4 +163,5 @@ def test_trajectory_rmse(runs):
 
 def test_rng_parity(runs):
     oracle, ostats, events, jstates, jouts = runs
-    assert int(jstates[-1].rng) == oracle.rng.state()
+    from scenelib2_tpu.rng import unpack_state
+    assert unpack_state(jstates[-1].rng) == oracle.rng.state()

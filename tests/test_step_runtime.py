@@ -132,10 +132,11 @@ def test_rng_stream_advances_only_on_init_attempts(scene, state0):
     frames, rs, qs = scene
     step = jax.jit(step_mod.make_step(PARAMS))
     s = state0
-    rngs = [int(s.rng)]
+    from scenelib2_tpu.rng import unpack_state
+    rngs = [unpack_state(s.rng)]
     for i in range(1, 6):
         s, o = step(s, jnp.asarray(frames[i]), False)  # mapping off -> no draws
-        rngs.append(int(s.rng))
+        rngs.append(unpack_state(s.rng))
     assert len(set(rngs)) == 1, "drand48 must not advance when mapping is off"
 
 
