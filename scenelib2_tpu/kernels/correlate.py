@@ -182,7 +182,15 @@ def _window_coords(ucentre, vcentre, R: int, W: int, H: int):
 
 
 def _gather_window(map2d, v0, u0, side_v: int, side_u: int):
-    return lax.dynamic_slice(map2d, (v0, u0), (side_v, side_u))
+    """Window gather via advanced indexing (a single XLA gather).
+
+    lax.dynamic_slice under vmap lowers to a serial while-loop over the batch
+    on TPU (measured ~0.1 ms/frame per gather site at 100 particles);
+    index-grid gathers batch into one op.
+    """
+    vv = v0 + jnp.arange(side_v, dtype=jnp.int32)[:, None]
+    uu = u0 + jnp.arange(side_u, dtype=jnp.int32)[None, :]
+    return map2d[vv, uu]
 
 
 def elliptical_search_batch(

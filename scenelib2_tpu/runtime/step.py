@@ -145,15 +145,15 @@ def make_step(params: Params, dtype=jnp.float64):
         D = x.shape[0]
         offs = CAM_DIM + SLOT_DIM * top_idx
 
-        def build_rows(hx, hy, off, ok):
-            rows = jnp.zeros((2, D), dtype)
-            rows = lax.dynamic_update_slice(
-                rows, jnp.where(ok, hy, 0.0), (jnp.zeros_like(off), off)
-            )
-            rows = rows.at[:, :CAM_DIM].set(jnp.where(ok, hx, 0.0))
-            return rows
-
-        H_rows = jax.vmap(build_rows)(hx_all[top_idx], hy_all[top_idx], offs, succ)
+        # Scatter the 2x3 feature blocks via a one-hot contraction (a vmapped
+        # dynamic_update_slice lowers to a serial while on TPU).
+        col_ids = offs[:, None] + jnp.arange(3, dtype=top_idx.dtype)[None, :]  # [NSEL,3]
+        onehot = (col_ids[:, :, None] == jnp.arange(D)[None, None, :]).astype(dtype)
+        hy_masked = jnp.where(succ[:, None, None], hy_all[top_idx], 0.0)
+        H_rows = jnp.einsum("kij,kjd->kid", hy_masked, onehot)
+        H_rows = H_rows.at[:, :, :CAM_DIM].set(
+            jnp.where(succ[:, None, None], hx_all[top_idx], 0.0)
+        )
         H_tot = H_rows.reshape(2 * NSEL, D)
         R_blocks = jnp.where(succ[:, None, None], R_all[top_idx], jnp.eye(2, dtype=dtype))
         R_tot = (
