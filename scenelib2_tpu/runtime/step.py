@@ -112,22 +112,26 @@ def make_step(params: Params, dtype=jnp.float64):
         sel_mask = top_score > _NEG_INF
         n_selected = jnp.sum(sel_mask).astype(jnp.int32)
 
-        # ---- 3. integer sum maps + windowed search ---------------------------
-        # Cross-sum maps are computed ONLY for the slots that can be searched
-        # this frame: the NSEL selected features + the MAXP partial slots
-        # (identified up front; a feature initialised later this frame is
-        # never searched on its first frame — monoslam.cpp:1366).
+        # ---- 3. integer sums + windowed search -------------------------------
+        # Selected features get window-local cross sums (one small grouped
+        # int32 conv over ~10% of the frame); only the MAXP partial slots
+        # need full-image maps (their particle clouds span wide regions).
+        # Partials are identified up front; a feature initialised later this
+        # frame is never searched on its first frame (monoslam.cpp:1366).
         MAXP = max(1, params.max_features_to_init_at_once)
         pvals, pidx = lax.top_k((state.active & ~state.full).astype(jnp.int32), MAXP)
         pmask = pvals > 0
-        needed = jnp.concatenate([top_idx, pidx])
         fsums = correlate.frame_sums(frame_u8, B)
-        cross_maps = correlate.cross_sum_maps(frame_u8, state.patches[needed], B)
-        sg0_need, sg0sq_need = correlate.patch_stats(state.patches[needed])
+        u0_sel, v0_sel, _, _ = correlate.search_window_origin(
+            h_all[top_idx], params.search_win_radius, W, H, B, round_half=True
+        )
+        cross_win = correlate.cross_sum_windows(
+            frame_u8, state.patches[top_idx], u0_sel, v0_sel, params.search_win_radius, B
+        )
+        sg0_sel, sg0sq_sel = correlate.patch_stats(state.patches[top_idx])
         sinv_sel = jax.vmap(ekf.inv2x2_via_chol)(S_all[top_idx])
         search = correlate.elliptical_search_batch(
-            fsums, cross_maps, sg0_need, sg0sq_need,
-            jnp.arange(NSEL, dtype=jnp.int32),
+            fsums, cross_win, sg0_sel, sg0sq_sel, u0_sel, v0_sel,
             h_all[top_idx], sinv_sel, sel_mask, B,
             win_radius=params.search_win_radius,
             no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
@@ -206,8 +210,10 @@ def make_step(params: Params, dtype=jnp.float64):
         x, P = mid_state.x, mid_state.P
 
         # ---- 8. match partially-initialised features --------------------------
+        cross_part = correlate.cross_sum_maps(frame_u8, state.patches[pidx], B)
+        sg0_part, sg0sq_part = correlate.patch_stats(state.patches[pidx])
         mid_state, did_convert = _match_partial_features(
-            mid_state, fsums, cross_maps[NSEL:], sg0_need[NSEL:], sg0sq_need[NSEL:],
+            mid_state, fsums, cross_part, sg0_part, sg0sq_part,
             pidx, pmask, cam, params, dtype
         )
 

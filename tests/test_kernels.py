@@ -21,12 +21,17 @@ def scene(rng):
 
 
 def _windowed_search(img, patch, centre, sinv, active=True, win_radius=25):
+    Hh, W = img.shape
     fsums = correlate.frame_sums(jnp.asarray(img), B)
-    cross = correlate.cross_sum_maps(jnp.asarray(img), jnp.asarray(patch)[None], B)
+    h = jnp.asarray([centre])
+    u0, v0, _, _ = correlate.search_window_origin(h, win_radius, W, Hh, B, round_half=True)
+    cross = correlate.cross_sum_windows(
+        jnp.asarray(img), jnp.asarray(patch)[None], u0, v0, win_radius, B
+    )
     sg0, sg0sq = correlate.patch_stats(jnp.asarray(patch)[None])
     return correlate.elliptical_search_batch(
-        fsums, cross, sg0, sg0sq, jnp.asarray([0]),
-        jnp.asarray([centre]), jnp.asarray([sinv]), jnp.asarray([active]), B,
+        fsums, cross, sg0, sg0sq, u0, v0,
+        h, jnp.asarray([sinv]), jnp.asarray([active]), B,
         win_radius=win_radius,
     )
 
