@@ -204,18 +204,43 @@ def make_step(params: Params, dtype=jnp.float64):
             & (n_partial < params.max_features_to_init_at_once)
         )
 
-        mid_state, did_init = _auto_initialise(
-            mid_state, frame_u8, cam, params, lam0, want_init
+        # the whole proposal+detection pipeline is skipped via lax.cond on
+        # frames that fail the cheap gates (steady-state maps rarely init)
+        mid_state, did_init = lax.cond(
+            want_init,
+            lambda s: _auto_initialise(s, frame_u8, cam, params, lam0, jnp.asarray(True)),
+            lambda s: (s, jnp.asarray(False)),
+            mid_state,
         )
         x, P = mid_state.x, mid_state.P
 
         # ---- 8. match partially-initialised features --------------------------
-        cross_part = correlate.cross_sum_maps(frame_u8, state.patches[pidx], B)
-        sg0_part, sg0sq_part = correlate.patch_stats(state.patches[pidx])
-        mid_state, did_convert = _match_partial_features(
-            mid_state, fsums, cross_part, sg0_part, sg0sq_part,
-            pidx, pmask, cam, params, dtype
+        # Heavy particle work (full-image conv for the partial patch,
+        # per-particle predictions, search, Bayes) runs under lax.cond only
+        # when some partial feature is actually measurable this frame; the
+        # always-on part is just the match_attempts increment
+        # (monoslam.cpp:1366 semantics preserved in both branches).
+        making_any = jnp.any(
+            mid_state.active & ~mid_state.full & (mid_state.match_attempts != 0)
         )
+
+        def heavy(s: SlamState):
+            cross_part = correlate.cross_sum_maps(frame_u8, s.patches[pidx], B)
+            sg0_part, sg0sq_part = correlate.patch_stats(s.patches[pidx])
+            return _match_partial_features(
+                s, fsums, cross_part, sg0_part, sg0sq_part, pidx, pmask, cam, params, dtype
+            )
+
+        def light(s: SlamState):
+            is_p = s.active & ~s.full
+            return (
+                s._replace(
+                    match_attempts=jnp.where(is_p, s.match_attempts + 1, s.match_attempts)
+                ),
+                jnp.asarray(False),
+            )
+
+        mid_state, did_convert = lax.cond(making_any, heavy, light, mid_state)
 
         out = StepOutputs(
             r=mid_state.x[0:3],
