@@ -121,6 +121,9 @@ class Params:
     # and counted — stock-workload extents stay well inside)
     search_win_radius: int = 32
     particle_win_radius: int = 10
+    # window-gather strategy: dynamic_slice loops win single-stream on TPU;
+    # index-grid gathers win under an outer vmap (batch datagen configs)
+    index_gather: bool = False
 
     @property
     def state_dim(self) -> int:

@@ -178,6 +178,7 @@ def cross_sum_windows(
     v0: jnp.ndarray,           # [K]
     win_radius: int,
     boxsize: int,
+    index_gather: bool = False,
 ) -> jnp.ndarray:
     """Sg0g1 evaluated only on each feature's search window: [K, side, side].
 
@@ -194,7 +195,7 @@ def cross_sum_windows(
     img = image_u8.astype(jnp.int32)
 
     def gather(u0_k, v0_k):
-        return lax.dynamic_slice(img, (v0_k - half, u0_k - half), (sw_v, sw_u))
+        return _gather_window(img, v0_k - half, u0_k - half, sw_v, sw_u, index_gather)
 
     wins = jax.vmap(gather)(u0, v0)                      # [K, sw_v, sw_u]
     out = lax.conv_general_dilated(
@@ -241,15 +242,21 @@ def _window_coords(ucentre, vcentre, R: int, W: int, H: int):
     return u0, v0, uu, vv
 
 
-def _gather_window(map2d, v0, u0, side_v: int, side_u: int):
-    """Window gather via dynamic_slice.
+def _gather_window(map2d, v0, u0, side_v: int, side_u: int, index_gather: bool = False):
+    """Window gather.
 
-    Under vmap this lowers to a serial while-loop over the batch on TPU, but
-    it is still 2.4 ms/frame FASTER than a single advanced-indexing gather op
-    at this workload's sizes (measured A/B on v5e: 1.65 vs 4.04 ms/frame) —
-    TPU gather with full index grids is far slower than a short loop of
-    contiguous slices.
+    Default: dynamic_slice. Under vmap it lowers to a serial while-loop on
+    TPU, yet for single-sequence workloads it is 2.4 ms/frame FASTER than an
+    advanced-indexing gather (measured A/B on v5e: 1.65 vs 4.04 ms/frame).
+    index_gather=True uses one index-grid gather instead — slower
+    single-stream but it batches cleanly under a second vmap (the
+    64-sequence data-generation config), where serial slice loops multiply
+    across lanes.
     """
+    if index_gather:
+        vv = v0 + jnp.arange(side_v, dtype=jnp.int32)[:, None]
+        uu = u0 + jnp.arange(side_u, dtype=jnp.int32)[None, :]
+        return map2d[vv, uu]
     return lax.dynamic_slice(map2d, (v0, u0), (side_v, side_u))
 
 
@@ -268,6 +275,7 @@ def elliptical_search_batch(
     no_sigma: float = 3.0,
     corr_thresh2: float = 0.40,
     corr_sigma_thresh: float = 10.0,
+    index_gather: bool = False,
 ) -> SearchResult:
     """Reference elliptical_search (monoslam.cpp:401-477), all features in
     one launch; scores evaluated on precomputed [2R+1]^2 windows only."""
@@ -286,8 +294,8 @@ def elliptical_search_batch(
         uu = u0_k + jnp.arange(side_u, dtype=jnp.int32)[None, :]
         vv = v0_k + jnp.arange(side_v, dtype=jnp.int32)[:, None]
 
-        sg1_w = _gather_window(fsums.sg1, v0_k, u0_k, side_v, side_u)
-        sg1sq_w = _gather_window(fsums.sg1sq, v0_k, u0_k, side_v, side_u)
+        sg1_w = _gather_window(fsums.sg1, v0_k, u0_k, side_v, side_u, index_gather)
+        sg1sq_w = _gather_window(fsums.sg1sq, v0_k, u0_k, side_v, side_u, index_gather)
 
         corr, sd0, sd1 = nssd_score(sg0_k, sg0sq_k, sg1_w, sg1sq_w, cross_w, n)
 
@@ -322,6 +330,7 @@ def multi_ellipse_search(
     corr_thresh2: float = 0.40,
     corr_sigma_thresh: float = 10.0,
     low_sigma_penalty: float = 5.0,
+    index_gather: bool = False,
 ):
     """SearchMultipleOverlappingEllipses for one particle cloud, windowed.
 
@@ -344,9 +353,9 @@ def multi_ellipse_search(
         vcentre = jnp.trunc(h_p[1]).astype(jnp.int32)
         u0, v0, uu, vv = _window_coords(ucentre, vcentre, win_radius, W, H)
 
-        sg1_w = _gather_window(fsums.sg1, v0, u0, side_v, side_u)
-        sg1sq_w = _gather_window(fsums.sg1sq, v0, u0, side_v, side_u)
-        cross_w = _gather_window(cross_map, v0, u0, side_v, side_u)
+        sg1_w = _gather_window(fsums.sg1, v0, u0, side_v, side_u, index_gather)
+        sg1sq_w = _gather_window(fsums.sg1sq, v0, u0, side_v, side_u, index_gather)
+        cross_w = _gather_window(cross_map, v0, u0, side_v, side_u, index_gather)
         corr, sd0, sd1 = nssd_score(sg0, sg0sq, sg1_w, sg1sq_w, cross_w, n)
         corr = jnp.where(sd1 < corr_sigma_thresh, corr + low_sigma_penalty, corr)
 

@@ -126,7 +126,8 @@ def make_step(params: Params, dtype=jnp.float64):
             h_all[top_idx], params.search_win_radius, W, H, B, round_half=True
         )
         cross_win = correlate.cross_sum_windows(
-            frame_u8, state.patches[top_idx], u0_sel, v0_sel, params.search_win_radius, B
+            frame_u8, state.patches[top_idx], u0_sel, v0_sel, params.search_win_radius, B,
+            index_gather=params.index_gather,
         )
         sg0_sel, sg0sq_sel = correlate.patch_stats(state.patches[top_idx])
         sinv_sel = jax.vmap(ekf.inv2x2_via_chol)(S_all[top_idx])
@@ -136,6 +137,7 @@ def make_step(params: Params, dtype=jnp.float64):
             win_radius=params.search_win_radius,
             no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
             corr_sigma_thresh=params.corr_sigma_thresh,
+            index_gather=params.index_gather,
         )
         succ = search.found                                   # [NSEL]
         z_sel = jnp.stack([search.u, search.v], axis=1).astype(dtype)
@@ -426,6 +428,7 @@ def _match_partial_features(state: SlamState, fsums, cross_part, sg0_part, sg0sq
             no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
             corr_sigma_thresh=params.corr_sigma_thresh,
             low_sigma_penalty=params.low_sigma_penalty,
+            index_gather=params.index_gather,
         )
 
     found, zu, zv, _over = jax.vmap(search_slot)(
