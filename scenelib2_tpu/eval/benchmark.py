@@ -135,9 +135,7 @@ def bench_batch64(n_frames: int = 64, batch: int = 64, warmup: int = 4):
 
     frames, cfg_path, _ = _dataset(n_frames)
     cfg = load_config(cfg_path)
-    params = __import__("dataclasses").replace(
-        cfg.params, max_features=16, index_gather=True
-    )
+    params = __import__("dataclasses").replace(cfg.params, max_features=16)
     state = st.init_state(params, cfg.xv0, cfg.pxx0)
     for kf in cfg.known_features:
         state = st.add_known_feature(state, kf.y, kf.xp_org, read_pgm(kf.patch_path))
