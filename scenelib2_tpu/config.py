@@ -120,7 +120,7 @@ class Params:
     # 3-sigma boxes are data-dependent; candidates beyond the cap are dropped
     # and counted — stock-workload extents stay well inside)
     search_win_radius: int = 32
-    particle_win_radius: int = 10
+    particle_win_radius: int = 16
     # window-gather strategy: dynamic_slice loops win single-stream on TPU;
     # index-grid gathers win under an outer vmap (batch datagen configs)
     index_gather: bool = False

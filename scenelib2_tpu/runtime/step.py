@@ -240,9 +240,10 @@ def make_step(params: Params, dtype=jnp.float64):
                     match_attempts=jnp.where(is_p, s.match_attempts + 1, s.match_attempts)
                 ),
                 jnp.asarray(False),
+                jnp.int32(0),
             )
 
-        mid_state, did_convert = lax.cond(making_any, heavy, light, mid_state)
+        mid_state, did_convert, n_p_overflow = lax.cond(making_any, heavy, light, mid_state)
 
         out = StepOutputs(
             r=mid_state.x[0:3],
@@ -256,7 +257,7 @@ def make_step(params: Params, dtype=jnp.float64):
             n_partial=jnp.sum(mid_state.active & ~mid_state.full).astype(jnp.int32),
             did_init=did_init,
             did_convert=did_convert,
-            n_overflow=jnp.sum(search.overflow).astype(jnp.int32),
+            n_overflow=jnp.sum(search.overflow).astype(jnp.int32) + n_p_overflow,
             sel_slot=top_idx.astype(jnp.int32),
             sel_mask=sel_mask,
             sel_h=h_all[top_idx],
@@ -431,9 +432,10 @@ def _match_partial_features(state: SlamState, fsums, cross_part, sg0_part, sg0sq
             index_gather=params.index_gather,
         )
 
-    found, zu, zv, _over = jax.vmap(search_slot)(
+    found, zu, zv, p_over = jax.vmap(search_slot)(
         cross_part, sg0_part, sg0sq_part, hpi, sinv, palive_c, making
     )
+    n_p_overflow = jnp.sum(p_over).astype(jnp.int32)
     z = jnp.stack([zu, zv], axis=-1).astype(dtype)          # [MAXP,NP,2]
 
     # Bayes update of particle probabilities (monoslam.cpp:1446-1493)
@@ -505,4 +507,4 @@ def _match_partial_features(state: SlamState, fsums, cross_part, sg0_part, sg0sq
     kill = jnp.zeros(MF, bool).at[pidx].set(kill_c & pmask)
     kill = kill & state.active & ~state.full
     state = st.delete_mask(state, kill)
-    return state, did_convert
+    return state, did_convert, n_p_overflow
