@@ -57,7 +57,8 @@ def main():
         frames = np.load(os.path.join(cache, "frames.npy"))
         cfg = os.path.join(cache, "synthetic.cfg")
 
-    slam = MonoSLAM(cfg, max_features=16)
+    use_pallas = os.environ.get("SCENELIB2_X64", "1") == "0"
+    slam = MonoSLAM(cfg, max_features=16, use_pallas=use_pallas)
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 

@@ -124,6 +124,10 @@ class Params:
     # window-gather strategy: dynamic_slice loops win single-stream on TPU;
     # index-grid gathers win under an outer vmap (batch datagen configs)
     index_gather: bool = False
+    # fused Pallas search kernel for the selected-feature stage (f32 scores;
+    # 2x the XLA path on TPU and absorbs the sums prep). Keep False for the
+    # f64 bit-parity mode; the fast-mode benches enable it.
+    use_pallas: bool = False
 
     @property
     def state_dim(self) -> int:

@@ -33,6 +33,7 @@ from scenelib2_tpu.core import ekf, models, motion
 from scenelib2_tpu.core.camera import CameraParams, measurement_noise
 from scenelib2_tpu.core.quaternion import quat_to_rotation_matrix
 from scenelib2_tpu.kernels import correlate, shi_tomasi
+from scenelib2_tpu.kernels.pallas_search import gather_windows_u8, pallas_elliptical_search
 from scenelib2_tpu.rng import drand48_many
 from scenelib2_tpu.runtime import state as st
 from scenelib2_tpu.runtime.state import CAM_DIM, SLOT_DIM, SlamState
@@ -121,24 +122,40 @@ def make_step(params: Params, dtype=jnp.float64):
         MAXP = max(1, params.max_features_to_init_at_once)
         pvals, pidx = lax.top_k((state.active & ~state.full).astype(jnp.int32), MAXP)
         pmask = pvals > 0
-        fsums = correlate.frame_sums(frame_u8, B)
         u0_sel, v0_sel, _, _ = correlate.search_window_origin(
             h_all[top_idx], params.search_win_radius, W, H, B, round_half=True
         )
-        cross_win = correlate.cross_sum_windows(
-            frame_u8, state.patches[top_idx], u0_sel, v0_sel, params.search_win_radius, B,
-            index_gather=params.index_gather,
-        )
-        sg0_sel, sg0sq_sel = correlate.patch_stats(state.patches[top_idx])
         sinv_sel = jax.vmap(ekf.inv2x2_via_chol)(S_all[top_idx])
-        search = correlate.elliptical_search_batch(
-            fsums, cross_win, sg0_sel, sg0sq_sel, u0_sel, v0_sel,
-            h_all[top_idx], sinv_sel, sel_mask, B,
-            win_radius=params.search_win_radius,
-            no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
-            corr_sigma_thresh=params.corr_sigma_thresh,
-            index_gather=params.index_gather,
-        )
+        if params.use_pallas:
+            wins = gather_windows_u8(
+                frame_u8, u0_sel, v0_sel, params.search_win_radius, B
+            )
+            s_found, s_u, s_v, s_best, s_over = pallas_elliptical_search(
+                wins, state.patches[top_idx], u0_sel, v0_sel,
+                h_all[top_idx], sinv_sel, sel_mask,
+                image_shape=(H, W), boxsize=B,
+                win_radius=params.search_win_radius,
+                no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
+                corr_sigma_thresh=params.corr_sigma_thresh,
+            )
+            search = correlate.SearchResult(
+                found=s_found, u=s_u, v=s_v, best=s_best, overflow=s_over
+            )
+        else:
+            fsums = correlate.frame_sums(frame_u8, B)
+            cross_win = correlate.cross_sum_windows(
+                frame_u8, state.patches[top_idx], u0_sel, v0_sel,
+                params.search_win_radius, B, index_gather=params.index_gather,
+            )
+            sg0_sel, sg0sq_sel = correlate.patch_stats(state.patches[top_idx])
+            search = correlate.elliptical_search_batch(
+                fsums, cross_win, sg0_sel, sg0sq_sel, u0_sel, v0_sel,
+                h_all[top_idx], sinv_sel, sel_mask, B,
+                win_radius=params.search_win_radius,
+                no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
+                corr_sigma_thresh=params.corr_sigma_thresh,
+                index_gather=params.index_gather,
+            )
         succ = search.found                                   # [NSEL]
         z_sel = jnp.stack([search.u, search.v], axis=1).astype(dtype)
         nu_sel = jnp.where(succ[:, None], z_sel - h_all[top_idx], 0.0)
@@ -227,10 +244,11 @@ def make_step(params: Params, dtype=jnp.float64):
         )
 
         def heavy(s: SlamState):
+            fsums_p = correlate.frame_sums(frame_u8, B)
             cross_part = correlate.cross_sum_maps(frame_u8, s.patches[pidx], B)
             sg0_part, sg0sq_part = correlate.patch_stats(s.patches[pidx])
             return _match_partial_features(
-                s, fsums, cross_part, sg0_part, sg0sq_part, pidx, pmask, cam, params, dtype
+                s, fsums_p, cross_part, sg0_part, sg0sq_part, pidx, pmask, cam, params, dtype
             )
 
         def light(s: SlamState):

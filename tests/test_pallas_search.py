@@ -1,0 +1,87 @@
+"""Pallas fused search vs the XLA windowed search (interpret mode on CPU).
+
+The kernel is the fast-mode path; in f32 its scores equal the XLA f32 path's
+(same integer sums, same formula) so decisions must agree exactly on
+non-degenerate inputs."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from scenelib2_tpu.kernels import correlate
+from scenelib2_tpu.kernels.pallas_search import gather_windows_u8, pallas_elliptical_search
+from tests import oracle_improc as oracle
+
+B = 11
+R = 20
+
+
+@pytest.fixture
+def scene(rng):
+    img = rng.integers(0, 256, size=(120, 160), dtype=np.uint8)
+    patch = img[40:51, 60:71].copy()
+    return img, patch
+
+
+def _run_pallas(img, patches, centres, sinvs, active):
+    Hh, W = img.shape
+    h = jnp.asarray(centres, jnp.float64)
+    u0, v0, _, _ = correlate.search_window_origin(h, R, W, Hh, B, round_half=True)
+    wins = gather_windows_u8(jnp.asarray(img), u0, v0, R, B)
+    return pallas_elliptical_search(
+        wins, jnp.asarray(patches), u0, v0, h,
+        jnp.asarray(sinvs), jnp.asarray(active),
+        image_shape=(Hh, W), boxsize=B, win_radius=R, interpret=True,
+    )
+
+
+def test_pallas_matches_oracle(scene):
+    img, patch = scene
+    sinv = np.array([[0.08, 0.01], [0.01, 0.05]])
+    centres = [[65.2, 45.4], [60.0, 42.0], [20.0, 20.0]]
+    found, u, v, best, over = _run_pallas(
+        img, np.stack([patch] * 3), centres, [sinv] * 3, [True] * 3
+    )
+    for k, centre in enumerate(centres):
+        f_o, u_o, v_o, best_o = oracle.elliptical_search(img, patch, centre, sinv, B)
+        assert bool(found[k]) == f_o, (k, centre)
+        if f_o:
+            assert (int(u[k]), int(v[k])) == (u_o, v_o), (k, centre)
+            # f32 score vs f64 oracle: equal to f32 tolerance
+            np.testing.assert_allclose(float(best[k]), best_o, rtol=2e-5, atol=5e-5)
+
+
+def test_pallas_matches_xla_search(scene, rng):
+    img, patch = scene
+    Hh, W = img.shape
+    K = 4
+    patches = np.stack([img[20 + 5 * k : 31 + 5 * k, 30 : 41] for k in range(K)])
+    centres = np.array([[35.0 + 4 * k, 25.0 + 3 * k] for k in range(K)])
+    sinvs = np.stack([np.array([[0.1, 0.01], [0.01, 0.08]])] * K)
+    active = np.ones(K, bool)
+
+    found_p, u_p, v_p, best_p, over_p = _run_pallas(img, patches, centres, sinvs, active)
+
+    fsums = correlate.frame_sums(jnp.asarray(img), B)
+    h = jnp.asarray(centres, jnp.float64)
+    u0, v0, _, _ = correlate.search_window_origin(h, R, W, Hh, B, round_half=True)
+    cross = correlate.cross_sum_windows(jnp.asarray(img), jnp.asarray(patches), u0, v0, R, B)
+    sg0, sg0sq = correlate.patch_stats(jnp.asarray(patches))
+    res = correlate.elliptical_search_batch(
+        fsums, cross, sg0, sg0sq, u0, v0, h, jnp.asarray(sinvs),
+        jnp.asarray(active), B, win_radius=R,
+    )
+    np.testing.assert_array_equal(np.asarray(found_p), np.asarray(res.found))
+    for k in range(K):
+        if bool(res.found[k]):
+            assert (int(u_p[k]), int(v_p[k])) == (int(res.u[k]), int(res.v[k])), k
+        assert bool(over_p[k]) == bool(res.overflow[k])
+
+
+def test_pallas_flat_patch_fails(scene):
+    img, _ = scene
+    flat = np.full((B, B), 99, np.uint8)
+    found, u, v, best, over = _run_pallas(
+        img, flat[None], [[60.0, 45.0]], [np.eye(2) * 0.05], [True]
+    )
+    assert not bool(found[0])
