@@ -45,10 +45,12 @@ def main():
 
     import scenelib2_tpu  # noqa: F401 (x64 on)
     from scenelib2_tpu import MonoSLAM
-    from scenelib2_tpu.eval.synthetic import generate_dataset
+    from scenelib2_tpu.eval.synthetic import DATASET_VERSION, generate_dataset
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "240"))
-    cache = os.path.join(tempfile.gettempdir(), f"scenelib2_bench_{n_frames}")
+    cache = os.path.join(
+        tempfile.gettempdir(), f"scenelib2_bench_v{DATASET_VERSION}_{n_frames}"
+    )
     if not os.path.exists(os.path.join(cache, "frames.npy")):
         os.makedirs(cache, exist_ok=True)
         frames, rs, qs, cfg = generate_dataset(cache, n_frames=n_frames)

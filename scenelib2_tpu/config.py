@@ -120,7 +120,9 @@ class Params:
     # 3-sigma boxes are data-dependent; candidates beyond the cap are dropped
     # and counted — stock-workload extents stay well inside)
     search_win_radius: int = 32
-    particle_win_radius: int = 16
+    # particle windows gather from the shared per-patch score map, so a
+    # generous radius is cheap; fresh rays routinely need >16 px (3-sigma)
+    particle_win_radius: int = 32
     # window-gather strategy: dynamic_slice loops win single-stream on TPU;
     # index-grid gathers win under an outer vmap (batch datagen configs)
     index_gather: bool = False

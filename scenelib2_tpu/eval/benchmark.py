@@ -24,9 +24,11 @@ import numpy as np
 
 
 def _dataset(n_frames: int, seed: int = 7, params=None, tag: str = "std"):
-    from scenelib2_tpu.eval.synthetic import generate_dataset
+    from scenelib2_tpu.eval.synthetic import DATASET_VERSION, generate_dataset
 
-    cache = os.path.join(tempfile.gettempdir(), f"scenelib2_ds_{tag}_{n_frames}_{seed}")
+    cache = os.path.join(
+        tempfile.gettempdir(), f"scenelib2_ds_v{DATASET_VERSION}_{tag}_{n_frames}_{seed}"
+    )
     fr = os.path.join(cache, "frames.npy")
     if not os.path.exists(fr):
         os.makedirs(cache, exist_ok=True)
@@ -102,7 +104,7 @@ def bench_hires(n_frames: int = 120, warmup: int = 8):
     p = Params(
         cam_width=640, cam_height=480, cam_fku=390.0, cam_fkv=390.0,
         cam_u0=324.0, cam_v0=250.0, max_features=60,
-        search_win_radius=48, particle_win_radius=26,
+        search_win_radius=48, particle_win_radius=52,
     )
     frames, cfg, _ = _dataset(n_frames, params=p, tag="hires")
     slam = MonoSLAM(cfg, max_features=60)

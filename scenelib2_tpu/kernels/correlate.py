@@ -332,11 +332,22 @@ def multi_ellipse_search(
     low_sigma_penalty: float = 5.0,
     index_gather: bool = False,
 ):
-    """SearchMultipleOverlappingEllipses for one particle cloud, windowed.
+    """SearchMultipleOverlappingEllipses for one particle cloud.
 
     Matching the reference: low image-sigma adds +5.0 (no skip), no
     patch-sigma gate, centre via plain int truncation
     (search_multiple_overlapping_ellipses.cpp:126-127).
+
+    The NSSD score depends only on (patch, image), not on the particle, so —
+    exactly like the reference's image-wide correlation cache
+    (search_multiple_overlapping_ellipses.cpp:106-196) — the score map is
+    computed ONCE over the full image and each particle does a cheap masked
+    argmin over a window gathered from the shared map. This replaced a
+    per-particle windowed rescore: 100 overlapping f64 score evaluations
+    collapse into one map, and the window radius can be generous (particle
+    ellipses early in a ray's life exceed 16 px; dropping their candidates
+    deviated from the reference).
+
     Returns (found [P], u, v, overflow [P]).
     """
     H, W = fsums.sg1.shape
@@ -344,6 +355,11 @@ def multi_ellipse_search(
     n = float(boxsize * boxsize)
     side_u = min(2 * win_radius + 1, W)
     side_v = min(2 * win_radius + 1, H)
+
+    corr_map, _, sd1_map = nssd_score(sg0, sg0sq, fsums.sg1, fsums.sg1sq, cross_map, n)
+    corr_map = jnp.where(sd1_map < corr_sigma_thresh, corr_map + low_sigma_penalty, corr_map)
+    # bake the centre-validity gate into the shared map (boxsize border)
+    corr_map = jnp.where(fsums.valid, corr_map, jnp.asarray(1e6, corr_map.dtype))
 
     def per_particle(h_p, sinv_p):
         a, b, c = sinv_p[0, 0], sinv_p[0, 1], sinv_p[1, 1]
@@ -353,18 +369,13 @@ def multi_ellipse_search(
         vcentre = jnp.trunc(h_p[1]).astype(jnp.int32)
         u0, v0, uu, vv = _window_coords(ucentre, vcentre, win_radius, W, H)
 
-        sg1_w = _gather_window(fsums.sg1, v0, u0, side_v, side_u, index_gather)
-        sg1sq_w = _gather_window(fsums.sg1sq, v0, u0, side_v, side_u, index_gather)
-        cross_w = _gather_window(cross_map, v0, u0, side_v, side_u, index_gather)
-        corr, sd0, sd1 = nssd_score(sg0, sg0sq, sg1_w, sg1sq_w, cross_w, n)
-        corr = jnp.where(sd1 < corr_sigma_thresh, corr + low_sigma_penalty, corr)
+        corr = _gather_window(corr_map, v0, u0, side_v, side_u, index_gather)
 
         urel = (uu - ucentre).astype(jnp.float64)
         vrel = (vv - vcentre).astype(jnp.float64)
         box = (jnp.abs(urel) <= halfwidth) & (jnp.abs(vrel) <= halfheight)
         ellipse = a * urel * urel + 2.0 * b * urel * vrel + c * vrel * vrel < no_sigma * no_sigma
-        centre_ok = (uu >= half) & (uu <= W - 1 - half) & (vv >= half) & (vv <= H - 1 - half)
-        mask = box & ellipse & centre_ok
+        mask = box & ellipse
         best, ub, vb = _masked_min_last_tie_win(corr, mask, uu, vv, H)
         over = (halfwidth > win_radius) | (halfheight > win_radius)
         return best, ub, vb, over

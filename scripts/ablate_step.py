@@ -48,7 +48,9 @@ def time_variant(name, params, s0, frames, patches):
 
 
 def main():
-    cache = "/tmp/scenelib2_bench_240"
+    from scenelib2_tpu.eval.synthetic import DATASET_VERSION
+
+    cache = f"/tmp/scenelib2_bench_v{DATASET_VERSION}_240"
     frames = np.load(os.path.join(cache, "frames.npy"))[1:49]
     cfg = load_config(os.path.join(cache, "synthetic.cfg"))
     params = dataclasses.replace(cfg.params, max_features=16)
@@ -64,8 +66,8 @@ def main():
 
     # also no partial matching
     orig_match = step_mod._match_partial_features
-    step_mod._match_partial_features = (
-        lambda state, fs, cm, a, b, cam, p, dt: (state, jnp.asarray(False))
+    step_mod._match_partial_features = lambda state, *a, **kw: (
+        state, jnp.asarray(False), jnp.int32(0)
     )
     time_variant("no_init_no_partial", params, s0, frames, None)
 
@@ -80,8 +82,8 @@ def main():
     corr_mod.cross_sum_maps = orig_cross
 
     orig_search = corr_mod.elliptical_search_batch
-    def no_search(fsums, cross, sg0, sg0sq, idx, h, sinv, act, b, **kw):
-        K = idx.shape[0]
+    def no_search(fsums, cross, sg0, sg0sq, u0, v0, h, sinv, act, b, **kw):
+        K = u0.shape[0]
         return corr_mod.SearchResult(
             found=jnp.zeros(K, bool), u=jnp.zeros(K, jnp.int32),
             v=jnp.zeros(K, jnp.int32), best=jnp.full(K, 1e6),

@@ -32,9 +32,13 @@ def main():
     p = Params(
         cam_width=640, cam_height=480, cam_fku=390.0, cam_fkv=390.0,
         cam_u0=324.0, cam_v0=250.0, max_features=60,
-        search_win_radius=48, particle_win_radius=26,
+        search_win_radius=48, particle_win_radius=52,
     )
-    cache = os.path.join(tempfile.gettempdir(), f"scenelib2_diag_hires_{n_frames}")
+    from scenelib2_tpu.eval.synthetic import DATASET_VERSION
+
+    cache = os.path.join(
+        tempfile.gettempdir(), f"scenelib2_diag_hires_v{DATASET_VERSION}_{n_frames}"
+    )
     fr = os.path.join(cache, "frames.npy")
     if not os.path.exists(fr):
         os.makedirs(cache, exist_ok=True)
