@@ -31,7 +31,18 @@ def cmd_run(args):
     from scenelib2_tpu.io.sequence import ImageSequence
 
     slam = MonoSLAM(args.config, max_features=args.max_features)
-    seq = ImageSequence(args.seq)
+    if args.camera is not None:
+        # live input (reference input.mode=1, UsbCamGrabber)
+        from scenelib2_tpu.io.camera import CameraGrabber
+
+        seq = CameraGrabber(
+            width=slam.params.cam_width, height=slam.params.cam_height,
+            device=args.camera,
+        )
+    else:
+        if args.seq is None:
+            raise SystemExit("run: provide --seq <dir> or --camera <index>")
+        seq = ImageSequence(args.seq)
     os.makedirs(args.out, exist_ok=True)
     profiler_ctx = None
     if args.profile:
@@ -134,7 +145,9 @@ def main(argv=None):
 
     pr = sub.add_parser("run", help="replay a sequence")
     pr.add_argument("--config", required=True)
-    pr.add_argument("--seq", required=True)
+    pr.add_argument("--seq", default=None)
+    pr.add_argument("--camera", type=int, default=None,
+                    help="live cv2 camera device index (instead of --seq)")
     pr.add_argument("--frames", type=int, default=0)
     pr.add_argument("--out", default="run_out")
     pr.add_argument("--max-features", type=int, default=16)

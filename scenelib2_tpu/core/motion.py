@@ -30,6 +30,17 @@ def extract_r_q_v_omega(xv: jnp.ndarray):
     return xv[0:3], xv[3:7], xv[7:10], xv[10:13]
 
 
+def func_fv(xv: jnp.ndarray, u: jnp.ndarray, delta_t: float) -> jnp.ndarray:
+    """State transition only, no Jacobian (motion_model.cpp:84-117 value
+    path) — for the auto-init future rollforward, which the reference runs
+    Jacobian-free (monoslam.cpp:880-883)."""
+    r, q, v, omega = extract_r_q_v_omega(xv)
+    rnew = r + v * delta_t
+    qnew = quat_mul(q, quat_from_angular_velocity(omega * delta_t))
+    vnew = v + u * delta_t
+    return jnp.concatenate([rnew, qnew, vnew, omega])
+
+
 def func_fv_and_dfv_by_dxv(xv: jnp.ndarray, u: jnp.ndarray, delta_t: float):
     """Returns (fv[13], dfv_by_dxv[13,13])."""
     r, q, v, omega = extract_r_q_v_omega(xv)

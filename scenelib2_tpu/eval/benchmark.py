@@ -104,7 +104,7 @@ def bench_hires(n_frames: int = 120, warmup: int = 8):
     p = Params(
         cam_width=640, cam_height=480, cam_fku=390.0, cam_fkv=390.0,
         cam_u0=324.0, cam_v0=250.0, max_features=60,
-        search_win_radius=48, particle_win_radius=52,
+        search_win_radius=48, particle_win_radius=52, n_particles=200,
     )
     frames, cfg, _ = _dataset(n_frames, params=p, tag="hires")
     slam = MonoSLAM(cfg, max_features=60)

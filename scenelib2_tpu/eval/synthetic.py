@@ -76,14 +76,14 @@ def quat_from_axis_angle(axis, angle):
 
 # bump when the generator's output changes: embedded in every dataset cache
 # key so stale /tmp caches can't poison benchmark or driver runs
-DATASET_VERSION = 2
+DATASET_VERSION = 4
 
 
 def default_trajectory(n_frames: int, delta_t: float):
     """Smooth handheld-style exploratory trajectory starting at the cfg pose
     (0,0,-0.6).
 
-    True speed stays in ~[0.26, 0.38] m/s — strictly above the reference's
+    True speed stays in ~[0.216, 0.235] m/s — strictly above the reference's
     0.2 m/s mapping gate (SceneLib2.cfg min_speed; monoslam.cpp:157-163) so
     auto-initialisation keeps firing and the map grows toward the
     keep-visible threshold, like the real TestSeqMonoSLAM workload. (The v1
@@ -249,17 +249,25 @@ def _write_cfg(path: str, p: Params, r0, q0, patch_paths):
         "state.vw_z = 0.0;",
         "state.ww_x = 0.0;",
         "state.ww_y = 0.0;",
-        "state.ww_z = 0.0;",
+        # like the stock cfg (state.ww_z = 0.01): the reference divides by
+        # |omega| in dqomegadt_by_domega, so a run must never start at
+        # exactly zero angular velocity
+        "state.ww_z = 0.01;",
     ]
     # initial Pxx: same structure as the stock file (small position/velocity
-    # uncertainty, zero quaternion uncertainty)
+    # uncertainty, zero quaternion uncertainty), scaled so the projected
+    # pixel-space uncertainty matches the stock 195-px-focal calibration —
+    # a sharper camera warrants a proportionally tighter metric prior
+    # (otherwise initial 3-sigma search ellipses double at 640x480 and early
+    # mismatches kill the known features)
+    scale = min((195.0 / p.cam_fku) ** 2, 1.0)
     pxx = np.zeros((13, 13))
     for i in (0, 1, 2):
-        pxx[i, i] = 0.0004
+        pxx[i, i] = 0.0004 * scale
     for i in (7, 8, 9):
-        pxx[i, i] = 0.0004
+        pxx[i, i] = 0.0004 * scale
     for i in (10, 11, 12):
-        pxx[i, i] = 0.0004
+        pxx[i, i] = 0.0004 * scale
     for i in range(13):
         for j in range(13):
             lines.append(f"state.pxx{i}_{j} = {pxx[i, j]};")

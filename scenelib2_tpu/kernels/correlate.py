@@ -316,6 +316,86 @@ def elliptical_search_batch(
     return SearchResult(found=found, u=u, v=v, best=best, overflow=over & active)
 
 
+def penalized_score_map(
+    fsums: FrameSums,
+    cross_map: jnp.ndarray,    # [H,W] i32 for this patch
+    sg0: jnp.ndarray,
+    sg0sq: jnp.ndarray,
+    boxsize: int,
+    corr_sigma_thresh: float = 10.0,
+    low_sigma_penalty: float = 5.0,
+) -> jnp.ndarray:
+    """Full-image NSSD score for one patch with the particle-search rules
+    baked in: +low_sigma_penalty where image sigma is low (no skip, matching
+    search_multiple_overlapping_ellipses.h:56) and 1e6 at invalid centres.
+    The shared 'correlation cache' both the XLA and Pallas particle searches
+    reduce over."""
+    n = float(boxsize * boxsize)
+    corr_map, _, sd1_map = nssd_score(sg0, sg0sq, fsums.sg1, fsums.sg1sq, cross_map, n)
+    corr_map = jnp.where(sd1_map < corr_sigma_thresh, corr_map + low_sigma_penalty, corr_map)
+    return jnp.where(fsums.valid, corr_map, jnp.asarray(1e6, corr_map.dtype))
+
+
+def multi_ellipse_search_dense(
+    corr_map: jnp.ndarray,     # [H,W] penalized_score_map output
+    h_centres: jnp.ndarray,    # [P,2]
+    sinv: jnp.ndarray,         # [P,2,2]
+    alive: jnp.ndarray,        # [P]
+    win_radius: int = 32,
+    no_sigma: float = 3.0,
+    corr_thresh2: float = 0.40,
+):
+    """Particle-cloud search as one fused broadcast masked-min over the
+    shared score map — no per-particle window gathers (vmapped dynamic_slice
+    lowers to a serial loop on TPU). Decisions are bit-identical to
+    multi_ellipse_search: the per-particle window clamp, ellipse test, and
+    last-in-(u,v)-scan-order tie-break are applied as masks against absolute
+    coordinates. Returns (found, u, v, overflow) each [P]."""
+    H, W = corr_map.shape
+    side_u = min(2 * win_radius + 1, W)
+    side_v = min(2 * win_radius + 1, H)
+
+    uc = jnp.trunc(h_centres[:, 0]).astype(jnp.int32)       # [P]
+    vc = jnp.trunc(h_centres[:, 1]).astype(jnp.int32)
+    a = sinv[:, 0, 0]
+    b = sinv[:, 0, 1]
+    c = sinv[:, 1, 1]
+    halfwidth = jnp.floor(no_sigma / jnp.sqrt(a - b * b / c)).astype(jnp.int32)
+    halfheight = jnp.floor(no_sigma / jnp.sqrt(c - b * b / a)).astype(jnp.int32)
+    u0 = jnp.clip(uc - win_radius, 0, W - side_u)
+    v0 = jnp.clip(vc - win_radius, 0, H - side_v)
+
+    uu = jnp.arange(W, dtype=jnp.int32)[None, None, :]       # [1,1,W]
+    vv = jnp.arange(H, dtype=jnp.int32)[None, :, None]       # [1,H,1]
+    urel = (uu - uc[:, None, None]).astype(corr_map.dtype)   # [P,H,W]
+    vrel = (vv - vc[:, None, None]).astype(corr_map.dtype)
+    in_win = (
+        (uu >= u0[:, None, None]) & (uu < (u0 + side_u)[:, None, None])
+        & (vv >= v0[:, None, None]) & (vv < (v0 + side_v)[:, None, None])
+    )
+    box = (jnp.abs(urel) <= halfwidth[:, None, None]) & (
+        jnp.abs(vrel) <= halfheight[:, None, None]
+    )
+    ell = (
+        a[:, None, None] * urel * urel
+        + 2.0 * b[:, None, None] * urel * vrel
+        + c[:, None, None] * vrel * vrel
+    ) < no_sigma * no_sigma
+    mask = in_win & box & ell
+
+    big = jnp.asarray(1e6, corr_map.dtype)
+    vals = jnp.where(mask, corr_map[None], big)              # [P,H,W]
+    best = vals.min(axis=(1, 2))
+    key = (uu * jnp.int32(H) + vv).astype(jnp.int32)         # scan order (u outer)
+    tie = (vals == best[:, None, None]) & mask
+    kbest = jnp.where(tie, key, -1).max(axis=(1, 2))
+    u = kbest // H
+    v = kbest % H
+    over = (halfwidth > win_radius) | (halfheight > win_radius)
+    found = alive & (best <= corr_thresh2)
+    return found, u, v, over & alive
+
+
 def multi_ellipse_search(
     fsums: FrameSums,
     cross_map: jnp.ndarray,    # [H,W] i32 for this patch
@@ -351,15 +431,12 @@ def multi_ellipse_search(
     Returns (found [P], u, v, overflow [P]).
     """
     H, W = fsums.sg1.shape
-    half = (boxsize - 1) // 2
-    n = float(boxsize * boxsize)
     side_u = min(2 * win_radius + 1, W)
     side_v = min(2 * win_radius + 1, H)
 
-    corr_map, _, sd1_map = nssd_score(sg0, sg0sq, fsums.sg1, fsums.sg1sq, cross_map, n)
-    corr_map = jnp.where(sd1_map < corr_sigma_thresh, corr_map + low_sigma_penalty, corr_map)
-    # bake the centre-validity gate into the shared map (boxsize border)
-    corr_map = jnp.where(fsums.valid, corr_map, jnp.asarray(1e6, corr_map.dtype))
+    corr_map = penalized_score_map(
+        fsums, cross_map, sg0, sg0sq, boxsize, corr_sigma_thresh, low_sigma_penalty
+    )
 
     def per_particle(h_p, sinv_p):
         a, b, c = sinv_p[0, 0], sinv_p[0, 1], sinv_p[1, 1]

@@ -303,10 +303,12 @@ def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Para
     x = state.x
 
     # roll the motion model forward (monoslam.cpp:880-883); unrolled — a
-    # 10-iteration lax.scan of 13-dim ops costs ~0.8 ms/frame as a TPU while
+    # 10-iteration lax.scan of 13-dim ops costs ~0.8 ms/frame as a TPU while.
+    # Jacobian-free, exactly like the reference's func_fv-only rollforward.
     xv_fut = x[:CAM_DIM]
+    u_zero = jnp.zeros(3, x.dtype)
     for _ in range(params.init_steps_to_predict):
-        xv_fut, _F = motion.func_fv_and_dfv_by_dxv(xv_fut, jnp.zeros(3, x.dtype), params.delta_t)
+        xv_fut = motion.func_fv(xv_fut, u_zero, params.delta_t)
     yW = xv_fut[0:3] + quat_to_rotation_matrix(xv_fut[3:7]) @ jnp.array(
         [0.0, 0.0, params.init_depth_hypothesis], x.dtype
     )
@@ -370,13 +372,13 @@ def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Para
     region_vs = vs_all[first_ok]
 
     # Shi-Tomasi best patch inside the region (monoslam.cpp:1043-1205);
-    # f32 sum maps over the whole frame, f64 eigen math on the region window
-    st_sums = shi_tomasi.structure_tensor_sums_f32(frame_u8, B)
+    # gradients + integer box sums + f64 eigen math all on the sliced
+    # region window only (~12x less than full-frame maps)
     ru, rv, ruf, rvf = shi_tomasi.clamp_region(
         region_us, region_vs, region_us + RW, region_vs + RH, W, H, B
     )
-    ubest, vbest, evbest = shi_tomasi.find_best_patch_region_windowed(
-        st_sums, (H, W), B, ru, rv, ruf, rvf, region_w=RW, region_h=RH
+    ubest, vbest, evbest = shi_tomasi.find_best_patch_in_image_window(
+        frame_u8, B, ru, rv, ruf, rvf, region_w=RW, region_h=RH
     )
 
     do_init = any_ok & (evbest > params.init_patch_score_thresh)
@@ -440,14 +442,18 @@ def _match_partial_features(state: SlamState, fsums, cross_part, sg0_part, sg0sq
     # hpi [MAXP,NP,2], sinv [MAXP,NP,2,2], dets [MAXP,NP]
 
     def search_slot(cross_j, sg0_j, sg0sq_j, h_f, sinv_f, alive_f, making_f):
-        return correlate.multi_ellipse_search(
-            fsums, cross_j, sg0_j, sg0sq_j,
-            h_f, sinv_f, alive_f & making_f, params.boxsize,
+        # one shared penalized score map (the reference's correlation cache),
+        # then a fused broadcast masked-min over all particles — no serial
+        # per-particle window gathers (measured: vmapped dynamic_slice loops
+        # and a per-particle Pallas grid were both slower on TPU)
+        corr_map = correlate.penalized_score_map(
+            fsums, cross_j, sg0_j, sg0sq_j, params.boxsize,
+            params.corr_sigma_thresh, params.low_sigma_penalty,
+        )
+        return correlate.multi_ellipse_search_dense(
+            corr_map, h_f, sinv_f, alive_f & making_f,
             win_radius=params.particle_win_radius,
             no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
-            corr_sigma_thresh=params.corr_sigma_thresh,
-            low_sigma_penalty=params.low_sigma_penalty,
-            index_gather=params.index_gather,
         )
 
     found, zu, zv, p_over = jax.vmap(search_slot)(
@@ -456,11 +462,16 @@ def _match_partial_features(state: SlamState, fsums, cross_part, sg0_part, sg0sq
     n_p_overflow = jnp.sum(p_over).astype(jnp.int32)
     z = jnp.stack([zu, zv], axis=-1).astype(dtype)          # [MAXP,NP,2]
 
-    # Bayes update of particle probabilities (monoslam.cpp:1446-1493)
+    # Bayes update of particle probabilities (monoslam.cpp:1446-1493).
+    # A particle whose 3-sigma ellipse exceeded the static window cap AND
+    # found no match inside the searched part is inconclusive — the reference
+    # would have scanned the full ellipse — so it keeps its prior weight
+    # (likelihood 1) rather than being zeroed and pruned. When no window
+    # overflows (the stock workload) this is exactly the reference rule.
     nu = z - hpi
     quad = jnp.einsum("fpi,fpij,fpj->fp", nu, sinv, nu)
     gauss = (1.0 / jnp.sqrt(2.0 * jnp.pi * dets)) * jnp.exp(-0.5 * quad)
-    likelihood = jnp.where(found, gauss, 0.0)
+    likelihood = jnp.where(found, gauss, jnp.where(p_over, 1.0, 0.0))
     upd = making[:, None] & palive_c
     prob = jnp.where(upd, prob_c * likelihood, prob_c)
 

@@ -55,9 +55,31 @@ def main():
     cfg = load_config(os.path.join(cache, "synthetic.cfg"))
     params = dataclasses.replace(cfg.params, max_features=16)
     s0 = build_state(params, cfg)
-    print("device:", jax.devices()[0])
+    print("device:", jax.devices()[0],
+          "mode:", "f64" if os.environ.get("SCENELIB2_X64", "1") == "1" else "f32")
 
+    if os.environ.get("SCENELIB2_X64", "1") == "0":
+        pparams = dataclasses.replace(params, use_pallas=True)
+        time_variant("full_pallas", pparams, s0, frames, None)
     time_variant("full", params, s0, frames, None)
+
+    # auto-init sub-stage attribution: stub insertion, then detection too
+    from scenelib2_tpu.kernels import shi_tomasi as st_mod_k
+    from scenelib2_tpu.runtime import state as st_state
+
+    orig_add = st_state.add_partial_feature
+    st_state.add_partial_feature = lambda state, cam, h, patch, lam0, enable: state
+    time_variant("no_partial_insert", params, s0, frames, None)
+
+    orig_window = st_mod_k.find_best_patch_in_image_window
+    st_mod_k.find_best_patch_in_image_window = (
+        lambda img, b, ru, rv, ruf, rvf, region_w, region_h: (
+            ru + 5, rv + 5, jnp.asarray(30000.0, jnp.float64)
+        )
+    )
+    time_variant("no_insert_no_shitomasi", params, s0, frames, None)
+    st_mod_k.find_best_patch_in_image_window = orig_window
+    st_state.add_partial_feature = orig_add
 
     # no auto-init (skip stage 7 heavy work)
     orig_auto = step_mod._auto_initialise

