@@ -187,18 +187,38 @@ def part_zeroedyi(y: jnp.ndarray, xp: jnp.ndarray):
     return jnp.concatenate([zeroedri, zeroedhhat]), d_by_dxp, d_by_dyi
 
 
+def part_predict_from_zeroed(
+    cam: CameraParams,
+    zeroed: jnp.ndarray,       # [6] from part_zeroedyi — lambda-INDEPENDENT
+    dz_by_dxp: jnp.ndarray,    # [6,7]
+    dz_by_dyi: jnp.ndarray,    # [6,6]
+    lam: jnp.ndarray,
+):
+    """Per-particle tail of the ray measurement prediction.
+
+    part_zeroedyi does not depend on lambda; callers vmapping over a
+    particle grid must compute it ONCE per ray and call this per particle
+    (vmapping the fused part_predict_measurement re-evaluates the quaternion
+    rotation + Jacobian chain per particle — measured ~0.7 ms/frame at 100
+    particles). Bit-identical to the fused path: same values, same op order.
+    """
+    hLR = zeroed[0:3] + lam * zeroed[3:6]
+    hpi = cam_mod.project(cam, hLR)
+    dh_by_dhLR = cam_mod.project_jacobian(cam, hLR)
+    dhLR_by_dz = jnp.concatenate(
+        [jnp.eye(3, dtype=zeroed.dtype), lam * jnp.eye(3, dtype=zeroed.dtype)], axis=1
+    )
+    J = dh_by_dhLR @ dhLR_by_dz
+    return hpi, J @ dz_by_dxp, J @ dz_by_dyi
+
+
 def part_predict_measurement(cam: CameraParams, y: jnp.ndarray, xp: jnp.ndarray, lam: jnp.ndarray):
     """hpi and Jacobians for a ray at depth lambda (part_feature_model.cpp:231-265).
 
     Returns (hpi[2], dhpi_by_dxp[2,7], dhpi_by_dyi[2,6]).
     """
     zeroed, dz_by_dxp, dz_by_dyi = part_zeroedyi(y, xp)
-    hLR = zeroed[0:3] + lam * zeroed[3:6]
-    hpi = cam_mod.project(cam, hLR)
-    dh_by_dhLR = cam_mod.project_jacobian(cam, hLR)
-    dhLR_by_dz = jnp.concatenate([jnp.eye(3, dtype=y.dtype), lam * jnp.eye(3, dtype=y.dtype)], axis=1)
-    J = dh_by_dhLR @ dhLR_by_dz
-    return hpi, J @ dz_by_dxp, J @ dz_by_dyi
+    return part_predict_from_zeroed(cam, zeroed, dz_by_dxp, dz_by_dyi, lam)
 
 
 def part_convert_to_full(y: jnp.ndarray, lam: jnp.ndarray):

@@ -23,6 +23,21 @@ import time
 import numpy as np
 
 
+def _stage(frames):
+    """Pre-stage a frame stack on the device: offline-replay throughput
+    measures compute, not the tunnel upload (bench.py does the same)."""
+    import jax
+    import jax.numpy as jnp
+
+    staged = jax.device_put(jnp.asarray(frames, jnp.uint8))
+    jax.block_until_ready(staged)
+    return staged
+
+
+def _fast_mode() -> bool:
+    return os.environ.get("SCENELIB2_X64", "1") == "0"
+
+
 def _dataset(n_frames: int, seed: int = 7, params=None, tag: str = "std"):
     from scenelib2_tpu.eval.synthetic import DATASET_VERSION, generate_dataset
 
@@ -44,8 +59,8 @@ def bench_testseq(n_frames: int = 240, warmup: int = 8):
     from scenelib2_tpu import MonoSLAM
 
     frames, cfg, _ = _dataset(n_frames)
-    slam = MonoSLAM(cfg, max_features=16)
-    rest = frames[1:]
+    slam = MonoSLAM(cfg, max_features=16, use_pallas=_fast_mode())
+    rest = _stage(frames[1:])
     outs = slam.run_sequence(rest)  # compile (same shape as the timed run)
     jax.block_until_ready(outs.r)
     dt = float("inf")
@@ -72,8 +87,8 @@ def bench_autoinit(n_frames: int = 240, warmup: int = 8):
     from scenelib2_tpu import MonoSLAM
 
     frames, cfg, _ = _dataset(n_frames)
-    slam = MonoSLAM(cfg, max_features=24)
-    rest = frames[1:]
+    slam = MonoSLAM(cfg, max_features=24, use_pallas=_fast_mode())
+    rest = _stage(frames[1:])
     outs = slam.run_sequence(rest)
     jax.block_until_ready(outs.r)
     dt = float("inf")
@@ -107,8 +122,8 @@ def bench_hires(n_frames: int = 120, warmup: int = 8):
         search_win_radius=48, particle_win_radius=52, n_particles=200,
     )
     frames, cfg, _ = _dataset(n_frames, params=p, tag="hires")
-    slam = MonoSLAM(cfg, max_features=60)
-    rest = frames[1:]
+    slam = MonoSLAM(cfg, max_features=60, use_pallas=_fast_mode())
+    rest = _stage(frames[1:])
     outs = slam.run_sequence(rest)
     jax.block_until_ready(outs.r)
     dt = float("inf")
@@ -139,7 +154,9 @@ def bench_batch64(n_frames: int = 64, batch: int = 64, warmup: int = 4):
 
     frames, cfg_path, _ = _dataset(n_frames)
     cfg = load_config(cfg_path)
-    params = __import__("dataclasses").replace(cfg.params, max_features=16)
+    params = __import__("dataclasses").replace(
+        cfg.params, max_features=16, use_pallas=_fast_mode()
+    )
     state = st.init_state(params, cfg.xv0, cfg.pxx0)
     for kf in cfg.known_features:
         state = st.add_known_feature(state, kf.y, kf.xp_org, read_pgm(kf.patch_path))

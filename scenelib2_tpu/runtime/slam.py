@@ -135,6 +135,39 @@ class MonoSLAM:
 
     InitialiseAutoFeature = initialise_auto_feature
 
+    def initialise_feature(self, frame: np.ndarray, uu: int, vv: int) -> bool:
+        """Manual feature init at a picked pixel (reference InitialiseFeature,
+        monoslam.cpp:1211-1235: copy_into_patch at (uu, vv) + partial ray
+        insertion with the uniform lambda particle grid). The reference's GUI
+        sets (uu, vv) from a mouse click (pangolin_util.cpp:57-81)."""
+        B = self.params.boxsize
+        half = (B - 1) // 2
+        W, H = self.params.cam_width, self.params.cam_height
+        uu, vv = int(uu), int(vv)
+        if not (half <= uu < W - half and half <= vv < H - half):
+            return False
+        frame = np.asarray(frame, np.uint8)
+        patch = frame[vv - half : vv + half + 1, uu - half : uu + half + 1]
+        if not hasattr(self, "_manual_init_fn"):
+            params, cam = self.params, self.cam
+            lam0 = jnp.asarray(st.lambda_grid(params))
+
+            def add_only(state, z, patch_u8):
+                return st.add_partial_feature(
+                    state, cam, z, patch_u8, lam0, jnp.asarray(True)
+                )
+
+            self._manual_init_fn = jax.jit(add_only)
+        n_before = int(jnp.sum(self.state.active))
+        self.state = self._manual_init_fn(
+            self.state,
+            jnp.asarray([float(uu), float(vv)], self.state.x.dtype),
+            jnp.asarray(patch, jnp.uint8),
+        )
+        return int(jnp.sum(self.state.active)) > n_before
+
+    InitialiseFeature = initialise_feature
+
     def add_new_known_feature(self, y, xp_org, patch) -> None:
         """Reference AddNewKnownFeature (monoslam.cpp:1278-1291)."""
         if isinstance(patch, str):

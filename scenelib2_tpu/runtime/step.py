@@ -425,18 +425,31 @@ def _match_partial_features(state: SlamState, fsums, cross_part, sg0_part, sg0sq
     palive_c = state.palive[pidx]
     prob_c = state.prob[pidx]
 
-    # per-(slot, particle) predicted measurement + innovation covariance
-    def per_particle(y6, pxy_i, pyy_i, lam_p):
-        hpi, hx7, hy6 = models.part_predict_measurement(cam, y6, xp, lam_p)
-        hx = jnp.pad(hx7, ((0, 0), (0, CAM_DIM - 7)))
-        R = measurement_noise(cam, hpi)
-        S = models.innovation_covariance(Pxx, pxy_i, pyy_i, hx, hy6, R)
-        sinv = ekf.inv2x2_via_chol(S)
-        dets = S[0, 0] * S[1, 1] - S[1, 0] * S[0, 1]
-        return hpi, sinv, dets
+    # per-(slot, particle) predicted measurement + innovation covariance;
+    # the lambda-independent ray geometry (part_zeroedyi: quaternion rotation
+    # + Jacobians) is hoisted OUT of the particle vmap — XLA does not CSE
+    # broadcast-invariant work across a vmapped axis (~0.7 ms/frame saved)
+    Pxx7 = Pxx[:7, :7]
 
     def per_slot(y6, pxy_i, pyy_i, lam_row):
-        return jax.vmap(lambda l: per_particle(y6, pxy_i, pyy_i, l))(lam_row)
+        zeroed, dz_by_dxp, dz_by_dyi = models.part_zeroedyi(y6, xp)
+        pxy7 = pxy_i[:7]
+
+        def per_particle(lam_p):
+            hpi, hx7, hy6 = models.part_predict_from_zeroed(
+                cam, zeroed, dz_by_dxp, dz_by_dyi, lam_p
+            )
+            R = measurement_noise(cam, hpi)
+            # S with the camera block restricted to the 7 position-state
+            # columns hx actually has (the 13-wide form zero-pads hx: the
+            # velocity-block terms are exact zeros)
+            t = hx7 @ pxy7 @ hy6.T
+            S = hx7 @ Pxx7 @ hx7.T + t + t.T + hy6 @ pyy_i @ hy6.T + R
+            sinv = ekf.inv2x2_via_chol(S)
+            dets = S[0, 0] * S[1, 1] - S[1, 0] * S[0, 1]
+            return hpi, sinv, dets
+
+        return jax.vmap(per_particle)(lam_row)
 
     hpi, sinv, dets = jax.vmap(per_slot)(ys6, pxy6, pyy6, lam_c)
     # hpi [MAXP,NP,2], sinv [MAXP,NP,2,2], dets [MAXP,NP]

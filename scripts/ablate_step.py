@@ -63,6 +63,25 @@ def main():
         time_variant("full_pallas", pparams, s0, frames, None)
     time_variant("full", params, s0, frames, None)
 
+    # particle-stage internals: stub the per-particle prediction math
+    from scenelib2_tpu.core import models as models_mod
+
+    orig_ppm = models_mod.part_predict_measurement
+    models_mod.part_predict_measurement = lambda cam, y6, xp, lam: (
+        jnp.asarray([160.0, 120.0]) + lam,
+        jnp.zeros((2, 7)).at[0, 0].set(1e-3),
+        jnp.zeros((2, 6)).at[0, 0].set(1e-3),
+    )
+    time_variant("cheap_part_predict", params, s0, frames, None)
+    models_mod.part_predict_measurement = orig_ppm
+
+    from scenelib2_tpu.runtime import state as st_state2
+
+    orig_conv = st_state2.convert_feature
+    st_state2.convert_feature = lambda state, idx, mean, cov, m: state
+    time_variant("no_convert", params, s0, frames, None)
+    st_state2.convert_feature = orig_conv
+
     # auto-init sub-stage attribution: stub insertion, then detection too
     from scenelib2_tpu.kernels import shi_tomasi as st_mod_k
     from scenelib2_tpu.runtime import state as st_state

@@ -42,6 +42,23 @@ def test_reference_style_aliases(slam):
     assert slam.SavePatch == slam.save_patch
 
 
+def test_manual_initialise_feature(world):
+    """Reference InitialiseFeature: init a ray at a picked pixel."""
+    d, frames, cfg = world
+    s = MonoSLAM(cfg, max_features=PARAMS.max_features, n_particles=PARAMS.n_particles,
+                 n_features_to_select=PARAMS.n_features_to_select,
+                 n_features_to_keep_visible=PARAMS.n_features_to_keep_visible,
+                 min_particles=PARAMS.min_particles)
+    n0 = sum(1 for _ in s.feature_table())
+    assert s.initialise_feature(frames[1], 80, 60)
+    tbl = s.feature_table()
+    assert len(tbl) == n0 + 1
+    assert not tbl[-1]["fully_initialised"]
+    # out-of-border pick is rejected
+    assert not s.initialise_feature(frames[1], 2, 2)
+    assert s.InitialiseFeature == s.initialise_feature
+
+
 def test_feature_table_and_mark_toggle(slam):
     tbl = slam.feature_table()
     assert len(tbl) >= 4
