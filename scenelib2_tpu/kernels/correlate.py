@@ -63,23 +63,26 @@ def frame_sums(image_u8: jnp.ndarray, boxsize: int) -> FrameSums:
 
 
 def cross_sum_maps(image_u8: jnp.ndarray, patches_u8: jnp.ndarray, boxsize: int) -> jnp.ndarray:
-    """Sg0g1 for every patch at every centre: [F,H,W] i32 (one int32 grouped
-    conv — exact on TPU, unlike f32 MXU convs)."""
+    """Sg0g1 for every patch at every centre: [F,H,W] i32.
+
+    Computed as boxsize^2 statically-shifted f32 FMAs (exact: u8*u8 products
+    accumulate to <= 121*255^2 < 2^24, representable in f32). An int32
+    grouped convolution gives the same integers but does NOT run on the MXU —
+    profiled at 1.7 ms per 320x240 call on v5e (the single most expensive op
+    in the whole step); the shifted-FMA form fuses on the VPU."""
     H, W = image_u8.shape
     F = patches_u8.shape[0]
     half = (boxsize - 1) // 2
-    img = image_u8.astype(jnp.int32)
-    kernels = patches_u8.astype(jnp.int32)[:, None, :, :]
-    out = lax.conv_general_dilated(
-        jnp.broadcast_to(img[None, None], (1, F, H, W)).astype(jnp.int32),
-        kernels,
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=F,
-        preferred_element_type=jnp.int32,
-    )[0]
-    pad = ((0, 0), (half, H - out.shape[1] - half), (half, W - out.shape[2] - half))
+    img = image_u8.astype(jnp.float32)
+    p = patches_u8.astype(jnp.float32)
+    oh, ow = H - boxsize + 1, W - boxsize + 1
+    acc = jnp.zeros((F, oh, ow), jnp.float32)
+    for dy in range(boxsize):
+        for dx in range(boxsize):
+            win = lax.slice(img, (dy, dx), (dy + oh, dx + ow))
+            acc = acc + p[:, dy, dx][:, None, None] * win[None]
+    out = acc.astype(jnp.int32)
+    pad = ((0, 0), (half, H - oh - half), (half, W - ow - half))
     return jnp.pad(out, pad)
 
 
