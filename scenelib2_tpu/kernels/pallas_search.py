@@ -217,6 +217,154 @@ def pallas_elliptical_search(
     return found, u, v, best, over & active
 
 
+def _particle_kernel(params_ref, map_ref, out_ref, *, NP, side_u, side_v,
+                     pad_h, pad_w, no_sigma, W, H):
+    """Particle-cloud search over ONE shared score map (VMEM-resident).
+
+    params_ref (SMEM [1, NP, 8]) per-particle f32 rows:
+        uc vc a b c alive
+    map_ref    (VMEM [1, pad_h, pad_w]) penalized score map (1e6-padded)
+    out_ref    (VMEM [1, NP_pad, 128]) rows: lane0 best, lane1 key, lane2 over
+
+    Replaces the dense [P,H,W] broadcast masked-min: each particle reads only
+    its (side_v x 256)-lane band of the map from VMEM instead of scanning the
+    whole image, with identical masks and tie-break (reference semantics:
+    search_multiple_overlapping_ellipses.cpp:106-196).
+    """
+    ns2 = no_sigma * no_sigma
+
+    def body(p, _):
+        uc = params_ref[0, p, 0].astype(jnp.int32)
+        vc = params_ref[0, p, 1].astype(jnp.int32)
+        a = params_ref[0, p, 2]
+        b = params_ref[0, p, 3]
+        c = params_ref[0, p, 4]
+        alive = params_ref[0, p, 5]
+
+        halfwidth = jnp.floor(no_sigma / jnp.sqrt(a - b * b / c))
+        halfheight = jnp.floor(no_sigma / jnp.sqrt(c - b * b / a))
+        R_u = side_u // 2
+        R_v = side_v // 2
+        u0 = jnp.clip(uc - R_u, 0, W - side_u)
+        v0 = jnp.clip(vc - R_v, 0, H - side_v)
+        # Mosaic requires aligned dynamic starts: 8-aligned rows / 128-aligned
+        # lanes, over-reading enough to cover the window, masked below.
+        band_v = _round_up(side_v, 8) + 8
+        va = jnp.minimum((v0 // 8) * 8, pad_h - band_v)
+        ua = jnp.minimum((u0 // 128) * 128, pad_w - 256)
+
+        band = map_ref[
+            0,
+            pl.ds(pl.multiple_of(va, 8), band_v),
+            pl.ds(pl.multiple_of(ua, 128), 256),
+        ]                                                      # [band_v, 256]
+
+        uu = ua + jax.lax.broadcasted_iota(jnp.int32, (band_v, 256), 1)
+        vv = va + jax.lax.broadcasted_iota(jnp.int32, (band_v, 256), 0)
+        in_win = (
+            (uu >= u0) & (uu < u0 + side_u) & (vv >= v0) & (vv < v0 + side_v)
+        )
+        urel = (uu - uc).astype(jnp.float32)
+        vrel = (vv - vc).astype(jnp.float32)
+        box = (jnp.abs(urel) <= halfwidth) & (jnp.abs(vrel) <= halfheight)
+        ell = a * urel * urel + 2.0 * b * urel * vrel + c * vrel * vrel < ns2
+        mask = in_win & box & ell & (uu < W)
+
+        vals = jnp.where(mask, band, 1e6)
+        best = jnp.min(vals)
+        key = uu * jnp.int32(H) + vv                           # (u,v) lexicographic
+        tie = (vals == best) & mask
+        kbest = jnp.max(jnp.where(tie, key, -1))
+        over = (halfwidth > float(R_u)) | (halfheight > float(R_v))
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(
+            lane == 0, best,
+            jnp.where(
+                lane == 1, kbest.astype(jnp.float32),
+                jnp.where(lane == 2, jnp.where(over, 1.0, 0.0) * alive, 0.0),
+            ),
+        )
+        out_ref[0, pl.ds(p, 1), :] = row
+        return _
+
+    jax.lax.fori_loop(0, NP, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win_radius", "no_sigma", "corr_thresh2", "interpret"),
+)
+def pallas_multi_ellipse_search(
+    corr_maps: jnp.ndarray,    # [F, H, W] penalized score maps (one per patch)
+    h_centres: jnp.ndarray,    # [F, P, 2]
+    sinv: jnp.ndarray,         # [F, P, 2, 2]
+    alive: jnp.ndarray,        # [F, P] bool (already includes the making gate)
+    win_radius: int = 16,
+    no_sigma: float = 3.0,
+    corr_thresh2: float = 0.40,
+    interpret: bool | None = None,
+):
+    """multi_ellipse_search_dense semantics as one Pallas launch.
+
+    Returns (found, u, v, overflow) each [F, P] — bit-identical decisions to
+    the dense XLA form (same map values, same f32 mask arithmetic, same
+    tie-break)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu" and "axon" not in str(
+            jax.devices()[0].platform
+        ).lower()
+    F, H, W = corr_maps.shape
+    P = h_centres.shape[1]
+    side_u = min(2 * win_radius + 1, W)
+    side_v = min(2 * win_radius + 1, H)
+    pad_w = max(_round_up(W, 128), 256)
+    pad_h = _round_up(H, 8)
+    NP_pad = _round_up(P, 8)
+
+    maps = jnp.pad(
+        corr_maps.astype(jnp.float32),
+        ((0, 0), (0, pad_h - H), (0, pad_w - W)),
+        constant_values=1e6,
+    )
+    uc = jnp.trunc(h_centres[..., 0]).astype(jnp.float32)
+    vc = jnp.trunc(h_centres[..., 1]).astype(jnp.float32)
+    params = jnp.stack(
+        [
+            uc, vc,
+            sinv[..., 0, 0].astype(jnp.float32), sinv[..., 0, 1].astype(jnp.float32),
+            sinv[..., 1, 1].astype(jnp.float32), alive.astype(jnp.float32),
+            jnp.zeros_like(uc), jnp.zeros_like(uc),
+        ],
+        axis=-1,
+    )                                                   # [F, P, 8]
+
+    kernel = functools.partial(
+        _particle_kernel,
+        NP=P, side_u=side_u, side_v=side_v, pad_h=pad_h, pad_w=pad_w,
+        no_sigma=no_sigma, W=W, H=H,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(F,),
+        in_specs=[
+            pl.BlockSpec((1, P, 8), lambda f: (f, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, pad_h, pad_w), lambda f: (f, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, NP_pad, 128), lambda f: (f, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((F, NP_pad, 128), jnp.float32),
+        interpret=interpret,
+    )(params, maps)
+
+    best = out[:, :P, 0].astype(h_centres.dtype)
+    kbest = out[:, :P, 1].astype(jnp.int32)
+    u = kbest // H
+    v = kbest % H
+    over = (out[:, :P, 2] > 0) & alive
+    found = alive & (best <= corr_thresh2)
+    return found, u, v, over
+
+
 def gather_windows_u8(image_u8, u0, v0, win_radius: int, boxsize: int):
     """Pre-gather the [K, SWIN, SWIN] u8 image windows for the kernel."""
     from jax import lax

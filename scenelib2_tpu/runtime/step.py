@@ -33,7 +33,11 @@ from scenelib2_tpu.core import ekf, models, motion
 from scenelib2_tpu.core.camera import CameraParams, measurement_noise
 from scenelib2_tpu.core.quaternion import quat_to_rotation_matrix
 from scenelib2_tpu.kernels import correlate, shi_tomasi
-from scenelib2_tpu.kernels.pallas_search import gather_windows_u8, pallas_elliptical_search
+from scenelib2_tpu.kernels.pallas_search import (
+    gather_windows_u8,
+    pallas_elliptical_search,
+    pallas_multi_ellipse_search,
+)
 from scenelib2_tpu.rng import drand48_many
 from scenelib2_tpu.runtime import state as st
 from scenelib2_tpu.runtime.state import CAM_DIM, SLOT_DIM, SlamState
@@ -454,24 +458,34 @@ def _match_partial_features(state: SlamState, fsums, cross_part, sg0_part, sg0sq
     hpi, sinv, dets = jax.vmap(per_slot)(ys6, pxy6, pyy6, lam_c)
     # hpi [MAXP,NP,2], sinv [MAXP,NP,2,2], dets [MAXP,NP]
 
-    def search_slot(cross_j, sg0_j, sg0sq_j, h_f, sinv_f, alive_f, making_f):
-        # one shared penalized score map (the reference's correlation cache),
-        # then a fused broadcast masked-min over all particles — no serial
-        # per-particle window gathers (measured: vmapped dynamic_slice loops
-        # and a per-particle Pallas grid were both slower on TPU)
-        corr_map = correlate.penalized_score_map(
+    # one shared penalized score map per patch (the reference's correlation
+    # cache), reduced per particle. Fast mode: a Pallas kernel keeps the map
+    # VMEM-resident and each particle reads only its window band (the dense
+    # [P,H,W] broadcast masked-min rescans the whole image per particle;
+    # per-particle window GATHERS were measured slower still on TPU).
+    def score_map(cross_j, sg0_j, sg0sq_j):
+        return correlate.penalized_score_map(
             fsums, cross_j, sg0_j, sg0sq_j, params.boxsize,
             params.corr_sigma_thresh, params.low_sigma_penalty,
         )
-        return correlate.multi_ellipse_search_dense(
-            corr_map, h_f, sinv_f, alive_f & making_f,
+
+    corr_maps = jax.vmap(score_map)(cross_part, sg0_part, sg0sq_part)
+    searchable = palive_c & making[:, None]
+    if params.use_pallas:
+        found, zu, zv, p_over = pallas_multi_ellipse_search(
+            corr_maps, hpi, sinv, searchable,
             win_radius=params.particle_win_radius,
             no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
         )
+    else:
+        def search_slot(cm, h_f, sinv_f, alive_f):
+            return correlate.multi_ellipse_search_dense(
+                cm, h_f, sinv_f, alive_f,
+                win_radius=params.particle_win_radius,
+                no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
+            )
 
-    found, zu, zv, p_over = jax.vmap(search_slot)(
-        cross_part, sg0_part, sg0sq_part, hpi, sinv, palive_c, making
-    )
+        found, zu, zv, p_over = jax.vmap(search_slot)(corr_maps, hpi, sinv, searchable)
     n_p_overflow = jnp.sum(p_over).astype(jnp.int32)
     z = jnp.stack([zu, zv], axis=-1).astype(dtype)          # [MAXP,NP,2]
 

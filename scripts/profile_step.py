@@ -79,18 +79,23 @@ def main():
         if not is_device:
             continue
         meta = {mid: m.name for mid, m in plane.event_metadata.items()}
-        totals = defaultdict(float)
-        counts = defaultdict(int)
+        # aggregate PER LINE: module/op/DMA lines overlap; summing across
+        # them double-counts nested events and async copy windows
         for line in plane.lines:
+            totals = defaultdict(float)
+            counts = defaultdict(int)
             for ev in line.events:
                 name = meta.get(ev.metadata_id, str(ev.metadata_id))
                 totals[name] += ev.duration_ps / 1e9  # -> ms
                 counts[name] += 1
-        if not totals:
-            continue
-        print(f"\n== plane: {plane.name} (total {sum(totals.values()):.2f} ms) ==")
-        for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:40]:
-            print(f"{ms:9.3f} ms  x{counts[name]:<6d} {name[:110]}")
+            if not totals:
+                continue
+            print(
+                f"\n== plane: {plane.name} | line: {line.name or line.id} "
+                f"(total {sum(totals.values()):.2f} ms) =="
+            )
+            for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:30]:
+                print(f"{ms:9.3f} ms  x{counts[name]:<6d} {name[:110]}")
 
 
 if __name__ == "__main__":

@@ -85,3 +85,59 @@ def test_pallas_flat_patch_fails(scene):
         img, flat[None], [[60.0, 45.0]], [np.eye(2) * 0.05], [True]
     )
     assert not bool(found[0])
+
+
+def test_pallas_particle_search_matches_dense(rng):
+    """pallas_multi_ellipse_search vs multi_ellipse_search_dense: identical
+    decisions/pixels on shared score maps (f32 both)."""
+    from scenelib2_tpu.kernels.pallas_search import pallas_multi_ellipse_search
+
+    Hh, W = 120, 160
+    F, P = 2, 24
+    Rwin = 16
+    maps = rng.uniform(0.0, 2.0, size=(F, Hh, W)).astype(np.float32)
+    # scatter some strong minima
+    for f in range(F):
+        for _ in range(30):
+            maps[f, rng.integers(0, Hh), rng.integers(0, W)] = rng.uniform(0, 0.3)
+    centres = np.stack(
+        [
+            np.stack(
+                [rng.uniform(-5, W + 5, size=P), rng.uniform(-5, Hh + 5, size=P)],
+                axis=1,
+            )
+            for _ in range(F)
+        ]
+    )
+    sinvs = np.zeros((F, P, 2, 2))
+    for f in range(F):
+        for p in range(P):
+            a = rng.uniform(0.02, 0.4)
+            c = rng.uniform(0.02, 0.4)
+            b = rng.uniform(-0.5, 0.5) * np.sqrt(a * c)
+            sinvs[f, p] = [[a, b], [b, c]]
+    alive = rng.uniform(size=(F, P)) > 0.2
+
+    m32 = jnp.asarray(maps)
+    h32 = jnp.asarray(centres, jnp.float32)
+    s32 = jnp.asarray(sinvs, jnp.float32)
+    al = jnp.asarray(alive)
+
+    found_p, u_p, v_p, over_p = pallas_multi_ellipse_search(
+        m32, h32, s32, al, win_radius=Rwin, interpret=True
+    )
+
+    def dense_f(cm, h_f, sinv_f, alive_f):
+        return correlate.multi_ellipse_search_dense(
+            cm, h_f, sinv_f, alive_f, win_radius=Rwin
+        )
+
+    import jax
+
+    found_d, u_d, v_d, over_d = jax.vmap(dense_f)(m32, h32, s32, al)
+
+    np.testing.assert_array_equal(np.asarray(found_p), np.asarray(found_d))
+    np.testing.assert_array_equal(np.asarray(over_p), np.asarray(over_d))
+    fd = np.asarray(found_d)
+    np.testing.assert_array_equal(np.asarray(u_p)[fd], np.asarray(u_d)[fd])
+    np.testing.assert_array_equal(np.asarray(v_p)[fd], np.asarray(v_d)[fd])
