@@ -120,13 +120,21 @@ def joint_update(
 
     S is inverted through its Cholesky factor exactly as the reference does
     (L, L^-1, S^-1 = L^-T L^-1) rather than cho_solve, to stay numerically
-    close. Masked rows (H=0, nu=0, R=I) contribute exactly nothing. The
-    factorisation is unrolled (see chol_unrolled) — the measurement size is
-    a small static constant.
+    close. Masked rows (H=0, nu=0, R=I) contribute exactly nothing.
+
+    Parity (f64) mode unrolls the factorisation (chol_unrolled) in the
+    reference's column order; fast (f32) mode runs factor+invert as one
+    Pallas kernel — the unrolled form is ~120 tiny serial ops (~30 us/frame
+    of op dispatch on TPU).
     """
     S = H @ P @ H.T + R
-    L = chol_unrolled(S)
-    Linv = tril_inv_unrolled(L)
+    if S.dtype == jnp.float32:
+        from scenelib2_tpu.kernels.pallas_linalg import pallas_chol_inv_lower
+
+        Linv = pallas_chol_inv_lower(S)
+    else:
+        L = chol_unrolled(S)
+        Linv = tril_inv_unrolled(L)
     Sinv = Linv.T @ Linv
     W = P @ H.T @ Sinv
     x_new = x + W @ nu

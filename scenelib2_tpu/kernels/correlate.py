@@ -399,6 +399,65 @@ def multi_ellipse_search_dense(
     return found, u, v, over & alive
 
 
+def multi_ellipse_search_rowband(
+    corr_map: jnp.ndarray,     # [H,W] penalized_score_map output
+    h_centres: jnp.ndarray,    # [P,2]
+    sinv: jnp.ndarray,         # [P,2,2]
+    alive: jnp.ndarray,        # [P]
+    win_radius: int = 32,
+    no_sigma: float = 3.0,
+    corr_thresh2: float = 0.40,
+):
+    """multi_ellipse_search_dense restricted to each particle's row band.
+
+    One batched row gather pulls [P, side_v, W] from the shared map, then the
+    same masks/min/tie-break run on 7x less data than the full-image dense
+    broadcast (win_radius=16 on 240 rows). The masked candidate set is
+    IDENTICAL to the dense form (the v-window test selects exactly these
+    rows), so results are bit-equal in either precision. Measured on v5e:
+    ~30% faster than the dense form and ~20% faster than a Pallas
+    per-particle band kernel (serial in-kernel particle loop).
+    Returns (found, u, v, overflow) each [P]."""
+    H, W = corr_map.shape
+    side_u = min(2 * win_radius + 1, W)
+    side_v = min(2 * win_radius + 1, H)
+
+    uc = jnp.trunc(h_centres[:, 0]).astype(jnp.int32)
+    vc = jnp.trunc(h_centres[:, 1]).astype(jnp.int32)
+    a = sinv[:, 0, 0]
+    b = sinv[:, 0, 1]
+    c = sinv[:, 1, 1]
+    halfwidth = jnp.floor(no_sigma / jnp.sqrt(a - b * b / c)).astype(jnp.int32)
+    halfheight = jnp.floor(no_sigma / jnp.sqrt(c - b * b / a)).astype(jnp.int32)
+    u0 = jnp.clip(uc - win_radius, 0, W - side_u)
+    v0 = jnp.clip(vc - win_radius, 0, H - side_v)
+
+    rows = corr_map[v0[:, None] + jnp.arange(side_v)[None, :]]   # [P,side_v,W]
+    uu = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    vv = (v0[:, None] + jnp.arange(side_v, dtype=jnp.int32)[None, :])[:, :, None]
+    urel = (uu - uc[:, None, None]).astype(corr_map.dtype)
+    vrel = (vv - vc[:, None, None]).astype(corr_map.dtype)
+    in_win = (uu >= u0[:, None, None]) & (uu < (u0 + side_u)[:, None, None])
+    box = (jnp.abs(urel) <= halfwidth[:, None, None]) & (
+        jnp.abs(vrel) <= halfheight[:, None, None]
+    )
+    ell = (
+        a[:, None, None] * urel * urel
+        + 2.0 * b[:, None, None] * urel * vrel
+        + c[:, None, None] * vrel * vrel
+    ) < no_sigma * no_sigma
+    mask = in_win & box & ell
+
+    vals = jnp.where(mask, rows, jnp.asarray(1e6, corr_map.dtype))
+    best = vals.min(axis=(1, 2))
+    key = (uu * jnp.int32(H) + vv).astype(jnp.int32)             # scan order
+    tie = (vals == best[:, None, None]) & mask
+    kbest = jnp.where(tie, key, -1).max(axis=(1, 2))
+    over = (halfwidth > win_radius) | (halfheight > win_radius)
+    found = alive & (best <= corr_thresh2)
+    return found, kbest // H, kbest % H, over & alive
+
+
 def multi_ellipse_search(
     fsums: FrameSums,
     cross_map: jnp.ndarray,    # [H,W] i32 for this patch

@@ -30,14 +30,16 @@ from jax import lax
 
 from scenelib2_tpu.config import Params
 from scenelib2_tpu.core import ekf, models, motion
-from scenelib2_tpu.core.camera import CameraParams, measurement_noise
+from scenelib2_tpu.core.camera import (
+    CameraParams,
+    measurement_noise,
+    project as camera_project,
+    project_jacobian as camera_project_jacobian,
+)
 from scenelib2_tpu.core.quaternion import quat_to_rotation_matrix
 from scenelib2_tpu.kernels import correlate, shi_tomasi
-from scenelib2_tpu.kernels.pallas_search import (
-    gather_windows_u8,
-    pallas_elliptical_search,
-    pallas_multi_ellipse_search,
-)
+from scenelib2_tpu.kernels.pallas_particle import pallas_particle_predict
+from scenelib2_tpu.kernels.pallas_search import gather_windows_u8, pallas_elliptical_search
 from scenelib2_tpu.rng import drand48_many
 from scenelib2_tpu.runtime import state as st
 from scenelib2_tpu.runtime.state import CAM_DIM, SLOT_DIM, SlamState
@@ -434,28 +436,63 @@ def _match_partial_features(state: SlamState, fsums, cross_part, sg0_part, sg0sq
     # + Jacobians) is hoisted OUT of the particle vmap — XLA does not CSE
     # broadcast-invariant work across a vmapped axis (~0.7 ms/frame saved)
     Pxx7 = Pxx[:7, :7]
+    # fast (f32) mode: the measurement Jacobian factors as
+    #   [hx7|hy6] = A(lam) @ (N1 + lam*N2)   with A = dproject/dhLR,
+    # so S = A (N1+lam N2) C (N1+lam N2)' A' + R = A (K0 + lam Ksym + lam^2 K2) A' + R
+    # with K0/Ksym/K2 lambda-INDEPENDENT 3x3 blocks: ~10 per-particle batched
+    # matmuls collapse into 2. The f64 parity path keeps the reference's
+    # exact operation order (part_feature_model.cpp:231-265).
+    fast = jnp.zeros((), jnp.float64).dtype == jnp.float32
 
-    def per_slot(y6, pxy_i, pyy_i, lam_row):
-        zeroed, dz_by_dxp, dz_by_dyi = models.part_zeroedyi(y6, xp)
-        pxy7 = pxy_i[:7]
+    if fast:
+        # lambda-independent per-slot geometry only; the whole per-particle
+        # chain runs as ONE lane-parallel Pallas kernel (pallas_particle.py —
+        # the vmapped form is ~300 [1,NP]-shaped micro-fusions of pure
+        # instruction overhead).
+        def slot_geom(y6, pxy_i, pyy_i):
+            zeroed, dz_by_dxp, dz_by_dyi = models.part_zeroedyi(y6, xp)
+            pxy7 = pxy_i[:7]
+            Ctop = jnp.concatenate([Pxx7, pxy7], axis=1)             # [7,13]
+            Cbot = jnp.concatenate([pxy7.T, pyy_i], axis=1)          # [6,13]
+            C = jnp.concatenate([Ctop, Cbot], axis=0)                # [13,13]
+            N1 = jnp.concatenate([dz_by_dxp[0:3], dz_by_dyi[0:3]], axis=1)  # [3,13]
+            N2 = jnp.concatenate([dz_by_dxp[3:6], dz_by_dyi[3:6]], axis=1)
+            CN1 = C @ N1.T                                           # [13,3]
+            CN2 = C @ N2.T
+            K0 = N1 @ CN1
+            K12 = N1 @ CN2
+            K2 = N2 @ CN2
+            return zeroed, K0, K12 + K12.T, K2
 
-        def per_particle(lam_p):
-            hpi, hx7, hy6 = models.part_predict_from_zeroed(
-                cam, zeroed, dz_by_dxp, dz_by_dyi, lam_p
-            )
-            R = measurement_noise(cam, hpi)
-            # S with the camera block restricted to the 7 position-state
-            # columns hx actually has (the 13-wide form zero-pads hx: the
-            # velocity-block terms are exact zeros)
-            t = hx7 @ pxy7 @ hy6.T
-            S = hx7 @ Pxx7 @ hx7.T + t + t.T + hy6 @ pyy_i @ hy6.T + R
-            sinv = ekf.inv2x2_via_chol(S)
-            dets = S[0, 0] * S[1, 1] - S[1, 0] * S[0, 1]
-            return hpi, sinv, dets
+        zeroed_c, K0c, Ksymc, K2c = jax.vmap(slot_geom)(ys6, pxy6, pyy6)
+        hpi, sinv, dets, _, _ = pallas_particle_predict(
+            zeroed_c, K0c, Ksymc, K2c, lam_c,
+            fku=cam.fku, fkv=cam.fkv, u0c=cam.u0, v0c=cam.v0,
+            kd1=cam.kd1, sd0=cam.sd, no_sigma=params.no_sigma,
+        )
+    else:
 
-        return jax.vmap(per_particle)(lam_row)
+        def per_slot(y6, pxy_i, pyy_i, lam_row):
+            zeroed, dz_by_dxp, dz_by_dyi = models.part_zeroedyi(y6, xp)
+            pxy7 = pxy_i[:7]
 
-    hpi, sinv, dets = jax.vmap(per_slot)(ys6, pxy6, pyy6, lam_c)
+            def per_particle(lam_p):
+                hpi, hx7, hy6 = models.part_predict_from_zeroed(
+                    cam, zeroed, dz_by_dxp, dz_by_dyi, lam_p
+                )
+                R = measurement_noise(cam, hpi)
+                # S with the camera block restricted to the 7 position-state
+                # columns hx actually has (the 13-wide form zero-pads hx: the
+                # velocity-block terms are exact zeros)
+                t = hx7 @ pxy7 @ hy6.T
+                S = hx7 @ Pxx7 @ hx7.T + t + t.T + hy6 @ pyy_i @ hy6.T + R
+                sinv = ekf.inv2x2_via_chol(S)
+                dets = S[0, 0] * S[1, 1] - S[1, 0] * S[0, 1]
+                return hpi, sinv, dets
+
+            return jax.vmap(per_particle)(lam_row)
+
+        hpi, sinv, dets = jax.vmap(per_slot)(ys6, pxy6, pyy6, lam_c)
     # hpi [MAXP,NP,2], sinv [MAXP,NP,2,2], dets [MAXP,NP]
 
     # one shared penalized score map per patch (the reference's correlation
@@ -471,21 +508,15 @@ def _match_partial_features(state: SlamState, fsums, cross_part, sg0_part, sg0sq
 
     corr_maps = jax.vmap(score_map)(cross_part, sg0_part, sg0sq_part)
     searchable = palive_c & making[:, None]
-    if params.use_pallas:
-        found, zu, zv, p_over = pallas_multi_ellipse_search(
-            corr_maps, hpi, sinv, searchable,
+
+    def search_slot(cm, h_f, sinv_f, alive_f):
+        return correlate.multi_ellipse_search_rowband(
+            cm, h_f, sinv_f, alive_f,
             win_radius=params.particle_win_radius,
             no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
         )
-    else:
-        def search_slot(cm, h_f, sinv_f, alive_f):
-            return correlate.multi_ellipse_search_dense(
-                cm, h_f, sinv_f, alive_f,
-                win_radius=params.particle_win_radius,
-                no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
-            )
 
-        found, zu, zv, p_over = jax.vmap(search_slot)(corr_maps, hpi, sinv, searchable)
+    found, zu, zv, p_over = jax.vmap(search_slot)(corr_maps, hpi, sinv, searchable)
     n_p_overflow = jnp.sum(p_over).astype(jnp.int32)
     z = jnp.stack([zu, zv], axis=-1).astype(dtype)          # [MAXP,NP,2]
 

@@ -221,3 +221,54 @@ def test_tie_break_last_scan_order():
     res = _windowed_search(img, patch, centre, big, win_radius=28)
     assert bool(res.found[0]) and found_o
     assert (int(res.u[0]), int(res.v[0])) == (u_o, v_o) == (35, 15)
+
+
+def test_rowband_matches_dense_particle_search(rng):
+    """multi_ellipse_search_rowband must be bit-equal to the dense broadcast
+    form in f64 (same masked candidate set, same reductions)."""
+    import jax
+
+    Hh, W, P, R = 90, 130, 40, 16
+    maps = rng.uniform(0.0, 2.0, size=(Hh, W))
+    centres = np.stack(
+        [rng.uniform(-4, W + 4, size=P), rng.uniform(-4, Hh + 4, size=P)], axis=1
+    )
+    sinvs = np.zeros((P, 2, 2))
+    for p in range(P):
+        a = rng.uniform(0.02, 0.5)
+        c = rng.uniform(0.02, 0.5)
+        b = rng.uniform(-0.6, 0.6) * np.sqrt(a * c)
+        sinvs[p] = [[a, b], [b, c]]
+    alive = rng.uniform(size=P) > 0.15
+
+    m = jnp.asarray(maps)
+    h = jnp.asarray(centres)
+    s = jnp.asarray(sinvs)
+    al = jnp.asarray(alive)
+    fd, ud, vd, od = correlate.multi_ellipse_search_dense(m, h, s, al, win_radius=R)
+    fr, ur, vr, orr = correlate.multi_ellipse_search_rowband(m, h, s, al, win_radius=R)
+    np.testing.assert_array_equal(np.asarray(fd), np.asarray(fr))
+    np.testing.assert_array_equal(np.asarray(od), np.asarray(orr))
+    sel = np.asarray(fd)
+    np.testing.assert_array_equal(np.asarray(ud)[sel], np.asarray(ur)[sel])
+    np.testing.assert_array_equal(np.asarray(vd)[sel], np.asarray(vr)[sel])
+
+
+def test_pallas_chol_inv_matches_unrolled(rng):
+    """pallas_chol_inv_lower vs the unrolled f64 reference math in f32."""
+    from scenelib2_tpu.core import ekf
+    from scenelib2_tpu.kernels.pallas_linalg import pallas_chol_inv_lower
+
+    for M in (2, 8, 20, 33):
+        A = rng.normal(size=(M, M))
+        S = A @ A.T / M + np.eye(M)
+        # identity rows/cols as the masked update produces for missed slots
+        if M >= 8:
+            S[3, :] = 0.0; S[:, 3] = 0.0; S[3, 3] = 1.0
+        L = ekf.chol_unrolled(jnp.asarray(S))
+        Linv64 = np.asarray(ekf.tril_inv_unrolled(L))
+        Linv32 = np.asarray(
+            pallas_chol_inv_lower(jnp.asarray(S, jnp.float32), interpret=True)
+        )
+        assert Linv32.dtype == np.float32
+        np.testing.assert_allclose(Linv32, Linv64, rtol=2e-4, atol=2e-5)
