@@ -175,36 +175,51 @@ def add_partial_feature(
     new_rows = Jx @ state.P[:CAM_DIM, :]                        # [6, D]
     pyy = new_rows[:, :CAM_DIM] @ Jx.T + dypi_by_dhi @ R @ dypi_by_dhi.T
 
+    # Disabled inserts must be exact no-ops; writes carry value-selected
+    # content (new vs the slot's current content) so no state-wide `where`
+    # is needed — this function runs UNCONDITIONALLY every frame in the step
+    # (the auto-init cond returns only the proposal).
     zero = jnp.zeros_like(off)
+    D = state.P.shape[0]
     P = state.P
-    P = lax.dynamic_update_slice(P, new_rows, (off, zero))
-    P = lax.dynamic_update_slice(P, new_rows.T, (zero, off))
-    P = lax.dynamic_update_slice(P, pyy, (off, off))
-    x = lax.dynamic_update_slice(state.x, ypi, (off,))
+    old_rows = lax.dynamic_slice(P, (off, zero), (SLOT_DIM, D))
+    rows = jnp.where(doit, new_rows, old_rows)
+    pyy_w = jnp.where(doit, pyy, lax.dynamic_slice(P, (off, off), (SLOT_DIM, SLOT_DIM)))
+    P = lax.dynamic_update_slice(P, rows, (off, zero))
+    P = lax.dynamic_update_slice(P, rows.T, (zero, off))
+    P = lax.dynamic_update_slice(P, pyy_w, (off, off))
+    x = lax.dynamic_update_slice(
+        state.x,
+        jnp.where(doit, ypi, lax.dynamic_slice(state.x, (off,), (SLOT_DIM,))),
+        (off,),
+    )
 
     NP = state.lam.shape[1]
     uniform = jnp.full(NP, 1.0 / NP, jnp.float64)
 
-    def apply(s: SlamState) -> SlamState:
-        return s._replace(
-            x=x,
-            P=P,
-            active=s.active.at[slot].set(True),
-            full=s.full.at[slot].set(False),
-            label=s.label.at[slot].set(s.next_label),
-            patches=s.patches.at[slot].set(patch_u8.astype(jnp.uint8)),
-            xp_org=s.xp_org.at[slot].set(xp),
-            attempts=s.attempts.at[slot].set(0),
-            successes=s.successes.at[slot].set(0),
-            lam=s.lam.at[slot].set(lam0),
-            prob=s.prob.at[slot].set(uniform),
-            palive=s.palive.at[slot].set(True),
-            match_attempts=s.match_attempts.at[slot].set(0),
-            next_label=s.next_label + 1,
-        )
+    def sel_row(new, old_arr):
+        return jnp.where(doit, new, old_arr[slot])
 
-    new_state = apply(state)
-    return jax.tree_util.tree_map(lambda a, b: jnp.where(doit, a, b), new_state, state)
+    return state._replace(
+        x=x,
+        P=P,
+        active=state.active.at[slot].set(sel_row(True, state.active)),
+        full=state.full.at[slot].set(sel_row(False, state.full)),
+        label=state.label.at[slot].set(sel_row(state.next_label, state.label)),
+        patches=state.patches.at[slot].set(
+            sel_row(patch_u8.astype(jnp.uint8), state.patches)
+        ),
+        xp_org=state.xp_org.at[slot].set(sel_row(xp, state.xp_org)),
+        attempts=state.attempts.at[slot].set(sel_row(0, state.attempts)),
+        successes=state.successes.at[slot].set(sel_row(0, state.successes)),
+        lam=state.lam.at[slot].set(sel_row(lam0, state.lam)),
+        prob=state.prob.at[slot].set(sel_row(uniform, state.prob)),
+        palive=state.palive.at[slot].set(sel_row(True, state.palive)),
+        match_attempts=state.match_attempts.at[slot].set(
+            sel_row(0, state.match_attempts)
+        ),
+        next_label=state.next_label + jnp.where(doit, 1, 0).astype(state.next_label.dtype),
+    )
 
 
 def delete_mask(state: SlamState, kill: jnp.ndarray) -> SlamState:
@@ -254,22 +269,28 @@ def convert_feature(
     new_rows3 = T @ old_rows                                  # [3, D]
     new_pyy3 = T @ old_pyy @ T.T + b @ (lam_cov.reshape(1, 1)) @ b.T
 
+    # disabled conversions are exact no-ops via value-selected writes (this
+    # runs unconditionally in the step; no state-wide `where`)
     rows6 = jnp.zeros((SLOT_DIM, state.P.shape[1]), state.P.dtype).at[:3].set(new_rows3)
+    rows6 = jnp.where(enable, rows6, old_rows)
     P = lax.dynamic_update_slice(state.P, rows6, (off, zero))
     P = lax.dynamic_update_slice(P, rows6.T, (zero, off))
     pyy6 = jnp.zeros((SLOT_DIM, SLOT_DIM), state.P.dtype).at[:3, :3].set(new_pyy3)
+    pyy6 = jnp.where(enable, pyy6, old_pyy)
     P = lax.dynamic_update_slice(P, pyy6, (off, off))
 
     x6 = jnp.zeros(SLOT_DIM, state.x.dtype).at[:3].set(yfi)
-    x = lax.dynamic_update_slice(state.x, x6, (off,))
+    old_x6 = lax.dynamic_slice(state.x, (off,), (SLOT_DIM,))
+    x = lax.dynamic_update_slice(state.x, jnp.where(enable, x6, old_x6), (off,))
 
-    new_state = state._replace(
+    return state._replace(
         x=x,
         P=P,
-        full=state.full.at[slot].set(True),
-        palive=state.palive.at[slot].set(False),
+        full=state.full.at[slot].set(jnp.where(enable, True, state.full[slot])),
+        palive=state.palive.at[slot].set(
+            jnp.where(enable, jnp.zeros_like(state.palive[slot]), state.palive[slot])
+        ),
     )
-    return jax.tree_util.tree_map(lambda a, bb: jnp.where(enable, a, bb), new_state, state)
 
 
 # -------------------- block accessors (for the step) --------------------
