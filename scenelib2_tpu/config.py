@@ -130,6 +130,10 @@ class Params:
     # 2x the XLA path on TPU and absorbs the sums prep). Keep False for the
     # f64 bit-parity mode; the fast-mode benches enable it.
     use_pallas: bool = False
+    # batch_mode: pick vmap-friendly implementations (dense particle search,
+    # unrolled Cholesky, vmapped particle predict) — single-invocation Pallas
+    # kernels serialize across a vmapped batch axis (one grid step per lane)
+    batch_mode: bool = False
 
     @property
     def state_dim(self) -> int:

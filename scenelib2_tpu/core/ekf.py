@@ -115,6 +115,7 @@ def joint_update(
     H: jnp.ndarray,       # [M,D] measurement Jacobian (zero rows for misses)
     nu: jnp.ndarray,      # [M]   innovations (zero for misses)
     R: jnp.ndarray,       # [M,M] block-diag noise (identity rows for misses)
+    pallas_chol: bool = True,
 ):
     """Joint EKF update (kalman.cpp:96-119).
 
@@ -128,7 +129,7 @@ def joint_update(
     of op dispatch on TPU).
     """
     S = H @ P @ H.T + R
-    if S.dtype == jnp.float32:
+    if pallas_chol and S.dtype == jnp.float32:
         from scenelib2_tpu.kernels.pallas_linalg import pallas_chol_inv_lower
 
         Linv = pallas_chol_inv_lower(S)

@@ -155,7 +155,7 @@ def bench_batch64(n_frames: int = 64, batch: int = 64, warmup: int = 4):
     frames, cfg_path, _ = _dataset(n_frames)
     cfg = load_config(cfg_path)
     params = __import__("dataclasses").replace(
-        cfg.params, max_features=16, use_pallas=_fast_mode()
+        cfg.params, max_features=16, use_pallas=_fast_mode(), batch_mode=True
     )
     state = st.init_state(params, cfg.xv0, cfg.pxx0)
     for kf in cfg.known_features:

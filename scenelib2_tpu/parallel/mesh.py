@@ -45,7 +45,11 @@ def make_batched_step(params: Params, mesh: Mesh, axis: str = "data"):
     Returns step_fn(states_b, frames_b, enable_mapping) -> (states_b, outs_b)
     where every pytree leaf of states_b/frames_b has a leading batch dim.
     """
-    step = step_mod.make_step(params)
+    import dataclasses
+
+    # single-invocation Pallas kernels serialize across a vmapped batch axis;
+    # force the vmap-friendly XLA implementations
+    step = step_mod.make_step(dataclasses.replace(params, batch_mode=True))
     vstep = jax.vmap(step, in_axes=(0, 0, None))
     batch_sharding = NamedSharding(mesh, P(axis))
 

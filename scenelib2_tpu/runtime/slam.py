@@ -87,28 +87,39 @@ class MonoSLAM:
         lengths don't trigger fresh compiles.
         """
         frames = jnp.asarray(frames, jnp.uint8)
+        nsel = self.params.n_features_to_select
         if self._scan is None:
             step = step_mod.make_step(self.params)
-            self._scan = jax.jit(
-                lambda s, f, em: jax.lax.scan(lambda s_, fr: step(s_, fr, em), s, f)
-            )
+
+            def scan_fn(s, f, em):
+                # pack per-frame outputs into ONE vector: scan stacking does
+                # one dynamic-update-slice per leaf per frame otherwise
+                carry, flat = jax.lax.scan(
+                    lambda s_, fr: (lambda ns, o: (ns, step_mod.pack_outputs(o)))(
+                        *step(s_, fr, em)
+                    ),
+                    s,
+                    f,
+                )
+                return carry, flat
+
+            self._scan = jax.jit(scan_fn)
         em = jnp.asarray(enable_mapping)
         if chunk and len(frames) >= chunk:
             # full chunks through one compiled scan; remainder via the
             # (already compiled) single-step jit
-            outs_list = []
+            flat_list = []
             n_full = (len(frames) // chunk) * chunk
             for pos in range(0, n_full, chunk):
-                self.state, o = self._scan(self.state, frames[pos : pos + chunk], em)
-                outs_list.append(o)
+                self.state, fl = self._scan(self.state, frames[pos : pos + chunk], em)
+                flat_list.append(fl)
             for i in range(n_full, len(frames)):
                 self.state, o = self._step(self.state, frames[i], em)
-                outs_list.append(jax.tree_util.tree_map(lambda a: a[None], o))
-            outs = jax.tree_util.tree_map(
-                lambda *xs: jnp.concatenate(xs, axis=0), *outs_list
-            )
+                flat_list.append(step_mod.pack_outputs(o)[None])
+            outs = step_mod.unpack_outputs(jnp.concatenate(flat_list, axis=0), nsel)
         else:
-            self.state, outs = self._scan(self.state, frames, em)
+            self.state, flat = self._scan(self.state, frames, em)
+            outs = step_mod.unpack_outputs(flat, nsel)
         self.last_output = jax.tree_util.tree_map(lambda a: a[-1], outs)
         rs = np.asarray(outs.r)
         self.trajectory_store.extend(list(rs))

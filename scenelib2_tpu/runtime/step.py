@@ -69,6 +69,67 @@ class StepOutputs(NamedTuple):
     sel_matched: jnp.ndarray  # [NSEL] bool
 
 
+def pack_outputs(out: StepOutputs) -> jnp.ndarray:
+    """Flatten StepOutputs into ONE 1-D float vector for lax.scan stacking.
+
+    A scan emits one dynamic-update-slice per output leaf per iteration;
+    with ~20 leaves that is ~10-15 us/frame of pure stacking overhead on
+    TPU. Packing makes it a single slice. Lossless: every integer field is
+    far below the float mantissa (slot ids < MF, counts < 2^16)."""
+    dt = out.r.dtype
+    parts = [
+        out.r, out.q, out.xv,
+        jnp.stack([
+            out.speed.astype(dt),
+            out.n_visible.astype(dt), out.n_selected.astype(dt),
+            out.n_matched.astype(dt), out.n_active.astype(dt),
+            out.n_partial.astype(dt), out.did_init.astype(dt),
+            out.did_convert.astype(dt), out.n_overflow.astype(dt),
+        ]),
+        out.sel_slot.astype(dt), out.sel_mask.astype(dt),
+        out.sel_h.reshape(-1).astype(dt), out.sel_S.reshape(-1).astype(dt),
+        out.sel_z.reshape(-1).astype(dt), out.sel_matched.astype(dt),
+    ]
+    return jnp.concatenate(parts)
+
+
+def unpack_outputs(flat: jnp.ndarray, nsel: int) -> StepOutputs:
+    """Inverse of pack_outputs; works on [K] or stacked [T, K] arrays."""
+    def take(start, n):
+        return flat[..., start : start + n]
+
+    o = 0
+    r = take(o, 3); o += 3
+    q = take(o, 4); o += 4
+    xv = take(o, 13); o += 13
+    scal = take(o, 9); o += 9
+    sel_slot = take(o, nsel); o += nsel
+    sel_mask = take(o, nsel); o += nsel
+    sel_h = take(o, 2 * nsel).reshape(*flat.shape[:-1], nsel, 2); o += 2 * nsel
+    sel_S = take(o, 4 * nsel).reshape(*flat.shape[:-1], nsel, 2, 2); o += 4 * nsel
+    sel_z = take(o, 2 * nsel).reshape(*flat.shape[:-1], nsel, 2); o += 2 * nsel
+    sel_matched = take(o, nsel); o += nsel
+    i32 = jnp.int32
+    return StepOutputs(
+        r=r, q=q, xv=xv,
+        speed=scal[..., 0],
+        n_visible=scal[..., 1].astype(i32),
+        n_selected=scal[..., 2].astype(i32),
+        n_matched=scal[..., 3].astype(i32),
+        n_active=scal[..., 4].astype(i32),
+        n_partial=scal[..., 5].astype(i32),
+        did_init=scal[..., 6] > 0.5,
+        did_convert=scal[..., 7] > 0.5,
+        n_overflow=scal[..., 8].astype(i32),
+        sel_slot=sel_slot.astype(i32),
+        sel_mask=sel_mask > 0.5,
+        sel_h=sel_h,
+        sel_S=sel_S,
+        sel_z=sel_z,
+        sel_matched=sel_matched > 0.5,
+    )
+
+
 def make_step(params: Params, dtype=jnp.float64):
     """Build the jitted per-frame step for a given static configuration."""
     cam = CameraParams.from_params(params)
@@ -193,7 +254,9 @@ def make_step(params: Params, dtype=jnp.float64):
         )
         nu_tot = nu_sel.reshape(2 * NSEL)
 
-        x_upd, P_upd, _ = ekf.joint_update(x, P, H_tot, nu_tot, R_tot)
+        x_upd, P_upd, _ = ekf.joint_update(
+            x, P, H_tot, nu_tot, R_tot, pallas_chol=not params.batch_mode
+        )
         x_upd, P_upd = ekf.normalise(x_upd, P_upd)
         any_succ = n_matched > 0
         x = jnp.where(any_succ, x_upd, x)
@@ -442,7 +505,7 @@ def _match_partial_features(state: SlamState, fsums, cross_part, sg0_part, sg0sq
     # with K0/Ksym/K2 lambda-INDEPENDENT 3x3 blocks: ~10 per-particle batched
     # matmuls collapse into 2. The f64 parity path keeps the reference's
     # exact operation order (part_feature_model.cpp:231-265).
-    fast = jnp.zeros((), jnp.float64).dtype == jnp.float32
+    fast = (jnp.zeros((), jnp.float64).dtype == jnp.float32) and not params.batch_mode
 
     if fast:
         # lambda-independent per-slot geometry only; the whole per-particle
@@ -509,8 +572,14 @@ def _match_partial_features(state: SlamState, fsums, cross_part, sg0_part, sg0sq
     corr_maps = jax.vmap(score_map)(cross_part, sg0_part, sg0sq_part)
     searchable = palive_c & making[:, None]
 
+    search_impl = (
+        correlate.multi_ellipse_search_dense
+        if params.batch_mode
+        else correlate.multi_ellipse_search_rowband
+    )
+
     def search_slot(cm, h_f, sinv_f, alive_f):
-        return correlate.multi_ellipse_search_rowband(
+        return search_impl(
             cm, h_f, sinv_f, alive_f,
             win_radius=params.particle_win_radius,
             no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,

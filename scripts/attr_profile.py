@@ -44,7 +44,9 @@ def hlo_op_paths() -> dict[str, str]:
     step = step_mod.make_step(params)
     n = int(os.environ.get("FRAMES", "239"))
     frames = jnp.zeros((n, params.cam_height, params.cam_width), jnp.uint8)
-    scan = jax.jit(lambda s, f: jax.lax.scan(lambda c, x: step(c, x, True), s, f))
+    scan = jax.jit(lambda s, f: jax.lax.scan(
+        lambda c, x: (lambda ns, o: (ns, step_mod.pack_outputs(o)))(*step(c, x, True)),
+        s, f))
     txt = scan.lower(s0, frames).compile().as_text()
 
     names = {}

@@ -43,7 +43,9 @@ def main():
         s0 = st.add_known_feature(s0, kf.y, kf.xp_org, read_pgm(kf.patch_path))
 
     step = step_mod.make_step(params)
-    scan = jax.jit(lambda s, f: jax.lax.scan(lambda c, x: step(c, x, True), s, f))
+    scan = jax.jit(lambda s, f: jax.lax.scan(
+        lambda c, x: (lambda ns, o: (ns, step_mod.pack_outputs(o)))(*step(c, x, True)),
+        s, f))
     fstack = jax.device_put(jnp.asarray(frames, jnp.uint8))
     s1, _ = scan(s0, fstack)
     jax.block_until_ready(s1.x)
