@@ -1,0 +1,164 @@
+"""Fused full-image penalized NSSD score map as one Pallas TPU kernel.
+
+The XLA fast-mode path builds each partial-feature score map from ~140
+separate [H,W] passes (121 statically-shifted cross-correlation FMAs that
+XLA only partially fuses, two reduce_window box sums, and the NSSD formula
+chain) — profiled at ~60us/frame on v5e, almost all of it HBM round-trips
+between micro-fusions. This kernel keeps the frame VMEM-resident and does
+box sums, patch cross-correlation, the NSSD score, the low-sigma penalty
+and the centre-validity mask in a single pass.
+
+Bit-exactness: all integer sums (Sg1, Sg1sq, Sg0g1) are exact in f32
+(values < 2^24), and the f32 score formula mirrors correlate.nssd_score op
+for op, so the output map is bit-identical to the XLA fast-mode map
+(penalized_score_map(frame_sums(..), cross_sum_maps(..)..)) — verified by
+tests/test_pallas_search.py. Reference semantics: improc.cpp:55-134 +
+search_multiple_overlapping_ellipses.h:56 (+5 low-sigma penalty, no skip).
+
+Layout: grid (F,) over patches; the padded f32 frame is a shared VMEM
+input (index_map pins block (0,0) so it stays resident across grid steps).
+Rolls are dx-outer/dy-inner: 121 cheap sublane rolls + ~30 lane rolls,
+keeping only ~6 frame-sized temporaries live (fits VMEM at 640x480 too).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _score_map_kernel(smem_ref, img_ref, out_ref, *, B, H, W, pad_h, pad_w,
+                      corr_sigma_thresh, low_sigma_penalty):
+    """smem_ref (SMEM [1,1,128]): lanes 0..B*B-1 patch row-major, B*B = Sg0,
+    B*B+1 = Sg0sq. img_ref (VMEM [pad_h,pad_w]) f32 frame, zero-padded.
+    out_ref (VMEM [1,pad_h,pad_w]) f32 penalized score map (centre-indexed).
+    """
+    n = float(B * B)
+    half = (B - 1) // 2
+    img = img_ref[...]
+    img2 = img * img
+
+    # top-left-indexed 11x11 sums via rolls: out[i] = x[i+d] == roll(x, n-d)
+    def shift0(x, dy):
+        return x if dy == 0 else pltpu.roll(x, pad_h - dy, 0)
+
+    def shift1(x, dx):
+        return x if dx == 0 else pltpu.roll(x, pad_w - dx, 1)
+
+    colsum = img
+    colsum2 = img2
+    for dy in range(1, B):
+        colsum = colsum + shift0(img, dy)
+        colsum2 = colsum2 + shift0(img2, dy)
+
+    sg1 = colsum
+    sg1sq = colsum2
+    for dx in range(1, B):
+        sg1 = sg1 + shift1(colsum, dx)
+        sg1sq = sg1sq + shift1(colsum2, dx)
+
+    # cross-correlation: dx-outer keeps lane rolls to B-1; the B*(B-1)
+    # sublane rolls are cheap VPU shuffles
+    cross = jnp.zeros_like(img)
+    for dx in range(B):
+        t = smem_ref[0, 0, dx] * img
+        for dy in range(1, B):
+            t = t + smem_ref[0, 0, dy * B + dx] * shift0(img, dy)
+        cross = cross + shift1(t, dx)
+
+    # centre-indexed: map[v,u] = topleft[v-half, u-half]
+    def centre(x):
+        return pltpu.roll(pltpu.roll(x, half, 0), half, 1)
+
+    sg1 = centre(sg1)
+    sg1sq = centre(sg1sq)
+    cross = centre(cross)
+
+    sg0 = smem_ref[0, 0, B * B]
+    sg0sq = smem_ref[0, 0, B * B + 1]
+
+    # f32 NSSD score, op-for-op as correlate.nssd_score (improc.cpp:55-134)
+    g0bar = sg0 / n
+    g1bar = sg1 / n
+    varg0 = sg0sq / n - g0bar * g0bar
+    varg1 = sg1sq / n - g1bar * g1bar
+    sd0 = jnp.sqrt(varg0)
+    sd1 = jnp.sqrt(varg1)
+    v1s = jnp.where(varg1 == 0.0, 1.0, varg1)
+    s1 = jnp.sqrt(v1s)
+    v0s = jnp.where(varg0 == 0.0, 1.0, varg0)
+    s0 = jnp.sqrt(v0s)
+    k = g0bar / s0 - g1bar / s1
+    corr = (
+        sg0sq / v0s + sg1sq / v1s + n * (k * k)
+        - cross * 2.0 / (s0 * s1) - sg0 * 2.0 * k / s0 + sg1 * 2.0 * k / s1
+    ) / n
+    both_zero = (sd0 == 0.0) & (sd1 == 0.0)
+    corr = jnp.where((sd0 != 0.0) & (sd1 != 0.0), corr, jnp.where(both_zero, 0.0, 1.0))
+
+    # low image-sigma penalty (search_multiple_overlapping_ellipses.h:56) and
+    # 1e6 at invalid centres, exactly as correlate.penalized_score_map
+    corr = jnp.where(sd1 < corr_sigma_thresh, corr + low_sigma_penalty, corr)
+    uu = jax.lax.broadcasted_iota(jnp.int32, (pad_h, pad_w), 1)
+    vv = jax.lax.broadcasted_iota(jnp.int32, (pad_h, pad_w), 0)
+    valid = (uu >= half) & (uu <= W - 1 - half) & (vv >= half) & (vv <= H - 1 - half)
+    out_ref[0] = jnp.where(valid, corr, 1e6)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("boxsize", "corr_sigma_thresh", "low_sigma_penalty", "interpret"),
+)
+def pallas_score_maps(
+    frame_u8: jnp.ndarray,     # [H,W]
+    patches_u8: jnp.ndarray,   # [F,B,B]
+    boxsize: int = 11,
+    corr_sigma_thresh: float = 10.0,
+    low_sigma_penalty: float = 5.0,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Penalized NSSD score map for every patch: [F,H,W] f32."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu" and "axon" not in str(
+            jax.devices()[0].platform
+        ).lower()
+    H, W = frame_u8.shape
+    F, B, _ = patches_u8.shape
+    assert B * B + 2 <= 128, "patch must flatten into one SMEM lane row"
+    pad_h = _round_up(H, 8)
+    pad_w = _round_up(W, 128)
+
+    img = jnp.pad(frame_u8.astype(jnp.float32), ((0, pad_h - H), (0, pad_w - W)))
+    p32 = patches_u8.astype(jnp.int32)
+    sg0 = p32.sum(axis=(1, 2)).astype(jnp.float32)
+    sg0sq = (p32 * p32).sum(axis=(1, 2)).astype(jnp.float32)
+    smem = jnp.zeros((F, 1, 128), jnp.float32)
+    smem = smem.at[:, 0, : B * B].set(patches_u8.reshape(F, -1).astype(jnp.float32))
+    smem = smem.at[:, 0, B * B].set(sg0)
+    smem = smem.at[:, 0, B * B + 1].set(sg0sq)
+
+    kernel = functools.partial(
+        _score_map_kernel,
+        B=B, H=H, W=W, pad_h=pad_h, pad_w=pad_w,
+        corr_sigma_thresh=corr_sigma_thresh, low_sigma_penalty=low_sigma_penalty,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(F,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 128), lambda f: (f, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((pad_h, pad_w), lambda f: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, pad_h, pad_w), lambda f: (f, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((F, pad_h, pad_w), jnp.float32),
+        interpret=interpret,
+    )(smem, img)
+    return out[:, :H, :W]

@@ -32,15 +32,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _search_kernel(smem_ref, win_ref, out_ref, *, side_v, side_u,
-                   boxsize, no_sigma, corr_sigma_thresh, pad_v, pad_u, W, H):
-    """smem_ref (SMEM [1,2,128]): row 0 = patch row-major in lanes
+def _search_body(smem_ref, win, out_ref, *, side_v, side_u,
+                 boxsize, no_sigma, corr_sigma_thresh, pad_v, pad_u, W, H):
+    """Shared search pipeline on an in-register window value.
+
+    smem_ref (SMEM [1,2,128]): row 0 = patch row-major in lanes
     0..boxsize^2-1; row 1 = params u0 v0 uc vc a b c active sg0 sg0sq.
-    win_ref    (VMEM [1,pad_v,pad_u]) f32 image window
+    win        [pad_v,pad_u] f32 image window (cells beyond the
+               (side+boxsize-1)^2 true window may hold arbitrary values —
+               every candidate the masks admit reads only true-window cells)
     out_ref    (VMEM [1,8,128]) f32: lanes 0..3 of row 0 = best,u,v,overflow
     """
     n = float(boxsize * boxsize)
-    win = win_ref[0]
 
     # pltpu.roll requires non-negative shifts: roll by (size - d) == roll by -d
     def row_sum(img):
@@ -133,6 +136,27 @@ def _search_kernel(smem_ref, win_ref, out_ref, *, side_v, side_u,
     out_ref[0] = res
 
 
+def _search_kernel(smem_ref, win_ref, out_ref, **kw):
+    _search_body(smem_ref, win_ref[0], out_ref, **kw)
+
+
+def _search_kernel_fused(offs_ref, smem_ref, win_ref, out_ref, *, blk_v, blk_u,
+                         **kw):
+    """Pre-gathered-window variant minus the gather: the pipeline fetches an
+    aligned [blk_v, blk_u] block around the window (Element-indexed specs,
+    auto double-buffered), and two dynamic rotates line the true window up
+    at the origin."""
+    k = pl.program_id(0)
+    dv = offs_ref[k, 2]
+    du = offs_ref[k, 3]
+    pad_v = kw["pad_v"]
+    pad_u = kw["pad_u"]
+    w = win_ref[...]                                   # [blk_v, blk_u]
+    w = pltpu.roll(w, blk_u - du, 1)[:, :pad_u]
+    w = pltpu.roll(w, blk_v - dv, 0)[:pad_v, :]
+    _search_body(smem_ref, w, out_ref, **kw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("boxsize", "win_radius", "no_sigma", "corr_thresh2",
@@ -208,6 +232,128 @@ def pallas_elliptical_search(
         out_shape=jax.ShapeDtypeStruct((K, 8, 128), jnp.float32),
         interpret=interpret,
     )(smem_in, win_f32)
+
+    best = out[:, 0, 0].astype(h_centre.dtype)
+    u = out[:, 0, 1].astype(jnp.int32)
+    v = out[:, 0, 2].astype(jnp.int32)
+    over = out[:, 0, 3] > 0
+    found = active & (best <= corr_thresh2)
+    return found, u, v, best, over & active
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("boxsize", "win_radius", "no_sigma", "corr_thresh2",
+                     "corr_sigma_thresh", "image_shape", "interpret"),
+)
+def pallas_elliptical_search_fused(
+    frame_u8: jnp.ndarray,     # [H, W] the whole frame
+    patches_u8: jnp.ndarray,   # [K, B, B]
+    u0: jnp.ndarray,           # [K] centre-window origins
+    v0: jnp.ndarray,           # [K]
+    h_centre: jnp.ndarray,     # [K, 2]
+    sinv: jnp.ndarray,         # [K, 2, 2]
+    active: jnp.ndarray,       # [K]
+    image_shape=(240, 320),
+    boxsize: int = 11,
+    win_radius: int = 32,
+    no_sigma: float = 3.0,
+    corr_thresh2: float = 0.40,
+    corr_sigma_thresh: float = 10.0,
+    interpret: bool | None = None,
+):
+    """pallas_elliptical_search without the host-graph window gather.
+
+    The vmapped dynamic_slice gather lowers to a serial 10-iteration while
+    loop (~26us/frame on v5e); here the kernel's own pipeline DMAs an
+    8/128-aligned block around each window straight from the frame
+    (Element-indexed in_specs, double-buffered across grid steps) and two
+    dynamic rotates align it in-register. Decisions are identical to
+    pallas_elliptical_search: cells outside the true window differ (image
+    content instead of zero padding) but every mask-admitted candidate reads
+    true-window cells only.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu" and "axon" not in str(
+            jax.devices()[0].platform
+        ).lower()
+    H, W = image_shape
+    K = patches_u8.shape[0]
+    B = boxsize
+    half = (B - 1) // 2
+    side_u = min(2 * win_radius + 1, W - B + 1)
+    side_v = min(2 * win_radius + 1, H - B + 1)
+    sw_u = side_u + B - 1
+    sw_v = side_v + B - 1
+    pad_u = _round_up(sw_u, 128)
+    pad_v = _round_up(sw_v, 8)
+    blk_u = pad_u + 128
+    blk_v = pad_v + 8
+
+    # pad the frame so every aligned block stays in bounds; window starts
+    # are clamped to [0, dim - sw] by search_window_origin
+    va_max = ((H - sw_v) // 8) * 8
+    ua_max = ((W - sw_u) // 128) * 128
+    pad_h_img = max(_round_up(H, 8), va_max + blk_v)
+    pad_w_img = max(_round_up(W, 128), ua_max + blk_u)
+    img = jnp.pad(
+        frame_u8.astype(jnp.float32), ((0, pad_h_img - H), (0, pad_w_img - W))
+    )
+
+    vs = v0 - half
+    us = u0 - half
+    va = (vs // 8) * 8
+    ua = (us // 128) * 128
+    offs = jnp.stack([va, ua, vs - va, us - ua], axis=1).astype(jnp.int32)
+
+    p32 = patches_u8.astype(jnp.int32)
+    sg0 = p32.sum(axis=(1, 2)).astype(jnp.float32)
+    sg0sq = (p32 * p32).sum(axis=(1, 2)).astype(jnp.float32)
+    uc = jnp.floor(h_centre[:, 0] + 0.5).astype(jnp.float32)
+    vc = jnp.floor(h_centre[:, 1] + 0.5).astype(jnp.float32)
+    params = jnp.stack(
+        [
+            u0.astype(jnp.float32), v0.astype(jnp.float32), uc, vc,
+            sinv[:, 0, 0].astype(jnp.float32), sinv[:, 0, 1].astype(jnp.float32),
+            sinv[:, 1, 1].astype(jnp.float32), active.astype(jnp.float32),
+            sg0, sg0sq,
+        ],
+        axis=1,
+    )
+    smem_in = jnp.zeros((K, 2, 128), jnp.float32)
+    smem_in = smem_in.at[:, 0, : B * B].set(
+        patches_u8.reshape(K, -1).astype(jnp.float32)
+    )
+    smem_in = smem_in.at[:, 1, :10].set(params)
+
+    kernel = functools.partial(
+        _search_kernel_fused,
+        blk_v=blk_v, blk_u=blk_u,
+        side_v=side_v, side_u=side_u, boxsize=B, no_sigma=no_sigma,
+        corr_sigma_thresh=corr_sigma_thresh, pad_v=pad_v, pad_u=pad_u, W=W, H=H,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((1, 2, 128), lambda k, offs: (k, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (pl.Element(blk_v), pl.Element(blk_u)),
+                lambda k, offs: (
+                    pl.multiple_of(offs[k, 0], 8),
+                    pl.multiple_of(offs[k, 1], 128),
+                ),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda k, offs: (k, 0, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, 8, 128), jnp.float32),
+        interpret=interpret,
+    )(offs, smem_in, img)
 
     best = out[:, 0, 0].astype(h_centre.dtype)
     u = out[:, 0, 1].astype(jnp.int32)

@@ -39,7 +39,8 @@ from scenelib2_tpu.core.camera import (
 from scenelib2_tpu.core.quaternion import quat_to_rotation_matrix
 from scenelib2_tpu.kernels import correlate, shi_tomasi
 from scenelib2_tpu.kernels.pallas_particle import pallas_particle_predict
-from scenelib2_tpu.kernels.pallas_search import gather_windows_u8, pallas_elliptical_search
+from scenelib2_tpu.kernels.pallas_score_map import pallas_score_maps
+from scenelib2_tpu.kernels.pallas_search import pallas_elliptical_search_fused
 from scenelib2_tpu.rng import drand48_many
 from scenelib2_tpu.runtime import state as st
 from scenelib2_tpu.runtime.state import CAM_DIM, SLOT_DIM, SlamState
@@ -194,11 +195,8 @@ def make_step(params: Params, dtype=jnp.float64):
         )
         sinv_sel = jax.vmap(ekf.inv2x2_via_chol)(S_all[top_idx])
         if params.use_pallas:
-            wins = gather_windows_u8(
-                frame_u8, u0_sel, v0_sel, params.search_win_radius, B
-            )
-            s_found, s_u, s_v, s_best, s_over = pallas_elliptical_search(
-                wins, state.patches[top_idx], u0_sel, v0_sel,
+            s_found, s_u, s_v, s_best, s_over = pallas_elliptical_search_fused(
+                frame_u8, state.patches[top_idx], u0_sel, v0_sel,
                 h_all[top_idx], sinv_sel, sel_mask,
                 image_shape=(H, W), boxsize=B,
                 win_radius=params.search_win_radius,
@@ -312,12 +310,31 @@ def make_step(params: Params, dtype=jnp.float64):
             mid_state.active & ~mid_state.full & (mid_state.match_attempts != 0)
         )
 
+        fast_mode = jnp.zeros((), jnp.float64).dtype == jnp.float32
+
         def heavy(s: SlamState):
-            fsums_p = correlate.frame_sums(frame_u8, B)
-            cross_part = correlate.cross_sum_maps(frame_u8, s.patches[pidx], B)
-            sg0_part, sg0sq_part = correlate.patch_stats(s.patches[pidx])
+            if params.use_pallas and fast_mode and not params.batch_mode:
+                # one fused VMEM-resident kernel (box sums + cross-corr +
+                # NSSD + penalty); bit-identical to the XLA f32 map
+                corr_maps = pallas_score_maps(
+                    frame_u8, s.patches[pidx], boxsize=B,
+                    corr_sigma_thresh=params.corr_sigma_thresh,
+                    low_sigma_penalty=params.low_sigma_penalty,
+                ).astype(dtype)
+            else:
+                fsums_p = correlate.frame_sums(frame_u8, B)
+                cross_part = correlate.cross_sum_maps(frame_u8, s.patches[pidx], B)
+                sg0_part, sg0sq_part = correlate.patch_stats(s.patches[pidx])
+
+                def score_map(cross_j, sg0_j, sg0sq_j):
+                    return correlate.penalized_score_map(
+                        fsums_p, cross_j, sg0_j, sg0sq_j, B,
+                        params.corr_sigma_thresh, params.low_sigma_penalty,
+                    )
+
+                corr_maps = jax.vmap(score_map)(cross_part, sg0_part, sg0sq_part)
             return _match_partial_features(
-                s, fsums_p, cross_part, sg0_part, sg0sq_part, pidx, pmask, cam, params, dtype
+                s, corr_maps, pidx, pmask, cam, params, dtype
             )
 
         def light(s: SlamState):
@@ -464,7 +481,7 @@ def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Para
 # ---------------------------------------------------------------------------
 
 
-def _match_partial_features(state: SlamState, fsums, cross_part, sg0_part, sg0sq_part,
+def _match_partial_features(state: SlamState, corr_maps,
                             pidx, pmask, cam: CameraParams, params: Params, dtype):
     """Particle matching on the compact partial-slot set.
 
@@ -472,7 +489,8 @@ def _match_partial_features(state: SlamState, fsums, cross_part, sg0_part, sg0sq
     slots as of the START of the frame; a feature auto-initialised THIS frame
     is deliberately absent — the reference never measures a partial feature
     on its first frame (monoslam.cpp:1366) and its fresh counters cannot
-    trigger deletion. cross_part/sg0_part are its rows of the cross-sum maps.
+    trigger deletion. corr_maps are its rows of the penalized score maps
+    (the reference's correlation-cache analog).
     """
     MF = params.max_features
     NP = params.n_particles
@@ -558,18 +576,10 @@ def _match_partial_features(state: SlamState, fsums, cross_part, sg0_part, sg0sq
         hpi, sinv, dets = jax.vmap(per_slot)(ys6, pxy6, pyy6, lam_c)
     # hpi [MAXP,NP,2], sinv [MAXP,NP,2,2], dets [MAXP,NP]
 
-    # one shared penalized score map per patch (the reference's correlation
-    # cache), reduced per particle. Fast mode: a Pallas kernel keeps the map
-    # VMEM-resident and each particle reads only its window band (the dense
-    # [P,H,W] broadcast masked-min rescans the whole image per particle;
-    # per-particle window GATHERS were measured slower still on TPU).
-    def score_map(cross_j, sg0_j, sg0sq_j):
-        return correlate.penalized_score_map(
-            fsums, cross_j, sg0_j, sg0sq_j, params.boxsize,
-            params.corr_sigma_thresh, params.low_sigma_penalty,
-        )
-
-    corr_maps = jax.vmap(score_map)(cross_part, sg0_part, sg0sq_part)
+    # the shared penalized score map per patch (the reference's correlation
+    # cache) is computed by the caller; each particle reads only its window
+    # band (the dense [P,H,W] broadcast masked-min rescans the whole image
+    # per particle; per-particle window GATHERS were measured slower on TPU).
     searchable = palive_c & making[:, None]
 
     search_impl = (

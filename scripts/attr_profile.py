@@ -59,8 +59,13 @@ def hlo_op_paths() -> dict[str, str]:
             continue
         nm = m.group(1)
         op = re.search(r'op_name="([^"]*)"', ln)
+        src = re.search(r'source_file="([^"]*)".*?source_line=(\d+)', ln)
         if op:
-            names[nm] = op.group(1)
+            tag = op.group(1)
+            if src:
+                sf = src.group(1).split("/")[-1]
+                tag = f"{sf}:{src.group(2)} {tag.split('/')[-1]}"
+            names[nm] = tag
     # fusions: attribute to their root op_name if the fusion instr itself
     # lacks metadata (roots carry it)
     return names

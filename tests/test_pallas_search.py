@@ -207,3 +207,124 @@ def test_pallas_particle_predict_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(det_k[0]), np.asarray(det_ref), rtol=3e-3, atol=1e-6
     )
+
+
+def _score_map_f32_numpy(img, patch, sigma_thresh=10.0, penalty=5.0):
+    """f32 NumPy replica of the fast-mode penalized score map (same op order
+    as correlate.nssd_score, which the tests' x64 env would run in f64)."""
+    H, W = img.shape
+    half = (B - 1) // 2
+    n = np.float32(B * B)
+    imgf = img.astype(np.float32)
+    pf = patch.astype(np.float32)
+    sg1 = np.zeros((H, W), np.float32)
+    sg1sq = np.zeros((H, W), np.float32)
+    cross = np.zeros((H, W), np.float32)
+    for v in range(half, H - half):
+        for u in range(half, W - half):
+            w = imgf[v - half : v + half + 1, u - half : u + half + 1]
+            sg1[v, u] = w.sum(dtype=np.float32)
+            sg1sq[v, u] = (w * w).sum(dtype=np.float32)
+            cross[v, u] = (w * pf).sum(dtype=np.float32)
+    sg0 = np.float32(pf.sum(dtype=np.float32))
+    sg0sq = np.float32((pf * pf).sum(dtype=np.float32))
+    with np.errstate(all="ignore"):
+        g0bar = sg0 / n
+        g1bar = sg1 / n
+        varg0 = sg0sq / n - g0bar * g0bar
+        varg1 = sg1sq / n - g1bar * g1bar
+        sd0 = np.sqrt(varg0)
+        sd1 = np.sqrt(varg1)
+        v0s = np.where(varg0 == 0.0, np.float32(1.0), varg0)
+        v1s = np.where(varg1 == 0.0, np.float32(1.0), varg1)
+        s0 = np.sqrt(v0s)
+        s1 = np.sqrt(v1s)
+        k = g0bar / s0 - g1bar / s1
+        C = (
+            sg0sq / v0s + sg1sq / v1s + n * (k * k)
+            - cross * np.float32(2.0) / (s0 * s1)
+            - sg0 * np.float32(2.0) * k / s0 + sg1 * np.float32(2.0) * k / s1
+        ) / n
+    both_zero = (sd0 == 0.0) & (sd1 == 0.0)
+    corr = np.where((sd0 != 0.0) & (sd1 != 0.0), C, np.where(both_zero, 0.0, 1.0))
+    corr = np.where(sd1 < sigma_thresh, corr + np.float32(penalty), corr).astype(np.float32)
+    uu, vv = np.meshgrid(np.arange(W), np.arange(H))
+    valid = (uu >= half) & (uu <= W - 1 - half) & (vv >= half) & (vv <= H - 1 - half)
+    return np.where(valid, corr, np.float32(1e6)).astype(np.float32)
+
+
+def test_pallas_score_map_matches_f32_reference(rng):
+    """Fused score-map kernel vs an f32 NumPy replica of the fast-mode map.
+
+    Integer sums are exact in both, so only formula rounding can differ.
+    XLA compiles the /n divisions as multiply-by-reciprocal, so EXACTLY-flat
+    image windows can yield a tiny negative variance -> NaN score where the
+    replica's true division gives variance 0 -> score 1.0. The XLA f32
+    pipeline path has the identical behaviour (the kernel is bit-identical
+    to it on TPU — verified on hardware), and a NaN score always fails the
+    0.40 match threshold just like the replica's penalized 6.0, so
+    *decisions* agree everywhere; the test therefore allows NaN only at
+    zero-variance windows."""
+    from scenelib2_tpu.kernels.pallas_score_map import pallas_score_maps
+
+    img = rng.integers(0, 256, size=(48, 160), dtype=np.uint8)
+    img[20:40, 100:130] = 9  # flat region (zero image sigma)
+    # one textured patch, one flat patch (sd0 == 0 special case)
+    patches = np.stack([img[20:31, 60:71].copy(), np.full((B, B), 7, np.uint8)])
+    want = np.stack([_score_map_f32_numpy(img, p) for p in patches])
+    got = np.asarray(
+        pallas_score_maps(jnp.asarray(img), jnp.asarray(patches), boxsize=B,
+                          interpret=True)
+    )
+    assert got.shape == want.shape
+
+    # zero-variance window map (exact integer sums in f64)
+    imgf = img.astype(np.float64)
+    H, W = img.shape
+    half = (B - 1) // 2
+    flat = np.zeros((H, W), bool)
+    for v in range(half, H - half):
+        for u in range(half, W - half):
+            w = imgf[v - half : v + half + 1, u - half : u + half + 1]
+            flat[v, u] = w.var() == 0.0
+    nan_got = np.isnan(got)
+    assert nan_got[:, ~flat].sum() == 0, "NaN outside zero-variance windows"
+    # textured patch: full value comparison outside the NaN cells.
+    # (A degenerate all-flat PATCH is excluded: reciprocal rounding kicks it
+    # out of the sd0==0 special case and the formula output is meaningless —
+    # identically so in the XLA f32 fast path, and unreachable in practice
+    # since patches are Shi-Tomasi winners; the f64 parity path keeps the
+    # reference's exact special-case handling.)
+    ok0 = ~nan_got[0]
+    np.testing.assert_allclose(got[0][ok0], want[0][ok0], rtol=2e-6, atol=2e-5)
+    assert np.isfinite(got[1][~nan_got[1]]).all()
+
+
+def test_pallas_fused_search_matches_gathered(scene, rng):
+    """The Element-indexed fused search (in-kernel window fetch) must make
+    the same decisions and pick the same pixels as the pre-gathered-window
+    kernel; scores equal at found cells (pad cells differ by design)."""
+    from scenelib2_tpu.kernels.pallas_search import pallas_elliptical_search_fused
+
+    img, patch = scene
+    Hh, W = img.shape
+    K = 4
+    patches = np.stack([img[20 + 5 * k : 31 + 5 * k, 30:41] for k in range(K)])
+    centres = np.array([[35.0 + 4 * k, 25.0 + 3 * k] for k in range(K)])
+    sinvs = np.stack([np.array([[0.1, 0.01], [0.01, 0.08]])] * K)
+    active = np.array([True, True, False, True])
+
+    f0, u0r, v0r, b0, o0 = _run_pallas(img, patches, centres, sinvs, active)
+    h = jnp.asarray(centres, jnp.float64)
+    u0, v0, _, _ = correlate.search_window_origin(h, R, W, Hh, B, round_half=True)
+    f1, u1, v1, b1, o1 = pallas_elliptical_search_fused(
+        jnp.asarray(img), jnp.asarray(patches), u0, v0, h,
+        jnp.asarray(sinvs), jnp.asarray(active),
+        image_shape=(Hh, W), boxsize=B, win_radius=R, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+    for k in range(K):
+        if bool(f0[k]):
+            assert (int(u0r[k]), int(v0r[k])) == (int(u1[k]), int(v1[k]))
+            assert float(b0[k]) == float(b1[k])
