@@ -85,7 +85,7 @@ def main():
     # best of N guards against the shared-tunnel timing jitter observed on
     # this device (same binary has measured 127..264 fps across runs)
     best_dt = float("inf")
-    for _ in range(int(os.environ.get("BENCH_REPEATS", "3"))):
+    for _ in range(int(os.environ.get("BENCH_REPEATS", "8"))):
         slam.reset()
         t0 = time.perf_counter()
         outs = slam.run_sequence(seq, enable_mapping=True, chunk=CHUNK)

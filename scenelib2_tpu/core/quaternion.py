@@ -85,30 +85,37 @@ def quat_from_angular_velocity(av: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([c, s * av[0], s * av[1], s * av[2]])
 
 
+# Every entry of the quaternion-product Jacobians is a single signed
+# component of q, so the 4x4 matrices are one constant-index gather + one
+# sign multiply (bit-identical to scalar placement, ~16 broadcast/concat
+# ops fewer per call on TPU).
+_DQ1_IDX = jnp.array(
+    [[0, 1, 2, 3], [1, 0, 3, 2], [2, 3, 0, 1], [3, 2, 1, 0]], jnp.int32
+)
+_DQ1_SGN = jnp.array(
+    [[1.0, -1.0, -1.0, -1.0], [1.0, 1.0, -1.0, 1.0],
+     [1.0, 1.0, 1.0, -1.0], [1.0, -1.0, 1.0, 1.0]]
+)
+_DQ2_SGN = jnp.array(
+    [[1.0, -1.0, -1.0, -1.0], [1.0, 1.0, 1.0, -1.0],
+     [1.0, -1.0, 1.0, 1.0], [1.0, 1.0, -1.0, 1.0]]
+)
+
+
 def dq3_by_dq1(q1: jnp.ndarray) -> jnp.ndarray:
-    """d(q1*q2)/dq2 expressed via q1 (math_util.cpp:82-97); wxyz rows/cols."""
-    w, x, y, z = q1[0], q1[1], q1[2], q1[3]
-    return jnp.array(
-        [
-            [w, -x, -y, -z],
-            [x, w, -z, y],
-            [y, z, w, -x],
-            [z, -y, x, w],
-        ]
-    )
+    """d(q1*q2)/dq2 expressed via q1 (math_util.cpp:82-97); wxyz rows/cols.
+
+    [[w, -x, -y, -z], [x, w, -z, y], [y, z, w, -x], [z, -y, x, w]]
+    """
+    return q1[_DQ1_IDX] * _DQ1_SGN.astype(q1.dtype)
 
 
 def dq3_by_dq2(q2: jnp.ndarray) -> jnp.ndarray:
-    """d(q1*q2)/dq1 expressed via q2 (math_util.cpp:99-114)."""
-    w, x, y, z = q2[0], q2[1], q2[2], q2[3]
-    return jnp.array(
-        [
-            [w, -x, -y, -z],
-            [x, w, z, -y],
-            [y, -z, w, x],
-            [z, y, -x, w],
-        ]
-    )
+    """d(q1*q2)/dq1 expressed via q2 (math_util.cpp:99-114).
+
+    [[w, -x, -y, -z], [x, w, z, -y], [y, -z, w, x], [z, y, -x, w]]
+    """
+    return q2[_DQ1_IDX] * _DQ2_SGN.astype(q2.dtype)
 
 
 def dqomegadt_by_domega(omega: jnp.ndarray, delta_t: float) -> jnp.ndarray:
@@ -179,6 +186,27 @@ def dqbar_by_dq() -> jnp.ndarray:
     return jnp.diag(jnp.array([1.0, -1.0, -1.0, -1.0]))
 
 
+# dR_by_dq{0,x,y,z} blocks: every entry is one signed q component times 2,
+# so all four 3x3 blocks come from one gather + sign/scale multiply.
+_DR_IDX = jnp.array(
+    [
+        [[0, 3, 2], [3, 0, 1], [2, 1, 0]],   # dR0:  [[w,-z,y],[z,w,-x],[-y,x,w]]
+        [[1, 2, 3], [2, 1, 0], [3, 0, 1]],   # dRx:  [[x,y,z],[y,-x,-w],[z,w,-x]]
+        [[2, 1, 0], [1, 2, 3], [0, 3, 2]],   # dRy:  [[-y,x,w],[x,y,z],[-w,z,-y]]
+        [[3, 0, 1], [0, 3, 2], [1, 2, 3]],   # dRz:  [[-z,-w,x],[w,-z,y],[x,y,z]]
+    ],
+    jnp.int32,
+)
+_DR_SGN = jnp.array(
+    [
+        [[2.0, -2.0, 2.0], [2.0, 2.0, -2.0], [-2.0, 2.0, 2.0]],
+        [[2.0, 2.0, 2.0], [2.0, -2.0, -2.0], [2.0, 2.0, -2.0]],
+        [[-2.0, 2.0, 2.0], [2.0, 2.0, 2.0], [-2.0, 2.0, -2.0]],
+        [[-2.0, -2.0, 2.0], [2.0, -2.0, 2.0], [2.0, 2.0, 2.0]],
+    ]
+)
+
+
 def dRq_times_a_by_dq(q: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
     """3x4 Jacobian of R(q) @ a wrt q (feature_model.cpp:167-237).
 
@@ -186,9 +214,5 @@ def dRq_times_a_by_dq(q: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
     the derivative of the *homogeneous* (unnormalised) rotation formula, which
     matches the true derivative only at |q| = 1 — replicated as-is.
     """
-    w, x, y, z = q[0], q[1], q[2], q[3]
-    dR0 = jnp.array([[w, -z, y], [z, w, -x], [-y, x, w]]) * 2.0
-    dRx = jnp.array([[x, y, z], [y, -x, -w], [z, w, -x]]) * 2.0
-    dRy = jnp.array([[-y, x, w], [x, y, z], [-w, z, -y]]) * 2.0
-    dRz = jnp.array([[-z, -w, x], [w, -z, y], [x, y, z]]) * 2.0
-    return jnp.stack([dR0 @ a, dRx @ a, dRy @ a, dRz @ a], axis=1)
+    dR = q[_DR_IDX] * _DR_SGN.astype(q.dtype)        # [4, 3, 3]
+    return jnp.einsum("cik,k->ic", dR, a)

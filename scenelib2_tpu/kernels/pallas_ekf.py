@@ -1,0 +1,199 @@
+"""Fused EKF joint update + quaternion-normalise + delete + symmetrize.
+
+One Pallas kernel replaces the whole fast-mode filter-algebra block of the
+step (reference kalman.cpp:72-119, monoslam.cpp:616-637, :644-703, :145-150):
+
+  S = H P H' + R            (masked rows: H=0, nu=0, R=I)
+  L, L^-1 via in-kernel Cholesky (same recurrences as pallas_linalg)
+  W = P H' S^-1;  x' = x + W nu;  P' = P - W S W'
+  covariance transform by the quaternion-norm Jacobian (built in-kernel
+  from x' with vector math — the reference quirk formulas, see
+  core.quaternion._norm_jac)
+  select posterior vs prior by the any-success gate
+  zero deleted slots' rows/cols (keep mask), P <- (P + P')/2
+
+As XLA ops this block is ~35 dispatches incl. a separate chol kernel launch
+(~25-35us/frame of mostly per-op overhead at D=109); fused it is a handful
+of MXU dots plus short VPU chains. f32 fast mode only (Mosaic has no f64);
+the parity path keeps core.ekf.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _chol_linv(S, M: int, pad_m: int):
+    """L^-1 for the leading MxM block of S [pad_m, 128] (zero outside);
+    identical recurrences to pallas_linalg._chol_inv_kernel."""
+    shape = (pad_m, 128)
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    in_block = (row < M) & (lane < M)
+    A = jnp.where(in_block, S, jnp.where(row == lane, 1.0, 0.0))
+
+    # fully unrolled over the static M (a fori_loop costs ~500 cycles per
+    # iteration of Mosaic loop overhead — 40 iterations would eat the win)
+    U = jnp.zeros(shape, jnp.float32)
+    for j in range(M):
+        drow = jnp.sum(jnp.where(row == j, A, 0.0), axis=0, keepdims=True)
+        dcol = jnp.sum(jnp.where(lane == j, A, 0.0), axis=1, keepdims=True)
+        d = jnp.sum(jnp.where((row == j) & (lane == j), A, 0.0))
+        inv_sqrt = 1.0 / jnp.sqrt(d)
+        U = jnp.where((row == j) & (lane >= j), drow * inv_sqrt, U)
+        A = A - jnp.where((row > j) & (lane > j), dcol * (drow / d), 0.0)
+
+    X = jnp.zeros(shape, jnp.float32)
+    for i in range(M):
+        lcol = jnp.sum(jnp.where(lane == i, U, 0.0), axis=1, keepdims=True)
+        lii = jnp.sum(jnp.where((row == i) & (lane == i), U, 0.0))
+        contrib = jnp.sum(jnp.where(row < i, lcol * X, 0.0), axis=0, keepdims=True)
+        ei = jnp.where(lane == i, 1.0, 0.0)
+        X = jnp.where(row == i, (ei - contrib) / lii, X)
+    return jnp.where(in_block, X, 0.0)
+
+
+def _update_kernel(smem_ref, x_ref, P_ref, H_ref, nu_ref, R_ref, keep_ref,
+                   ox_ref, oP_ref, *, D, M, pad_d, pad_m):
+    P = P_ref[..., :pad_d]                      # [pad_d, pad_d]
+    H = H_ref[...]                              # [pad_m, 128]
+    Hd = H[:, :pad_d]
+
+    # S = H P H' + R on the leading MxM block (pads are zero)
+    PHt = jax.lax.dot_general(P, Hd, (((1,), (1,)), ((), ())), precision=_HI)
+    S = jax.lax.dot_general(Hd, PHt, (((1,), (0,)), ((), ())), precision=_HI)
+    S = S + R_ref[..., :pad_m]                  # [pad_m, pad_m]
+
+    S128 = jnp.concatenate(
+        [S, jnp.zeros((pad_m, 128 - pad_m), jnp.float32)], axis=1
+    )
+    Linv = _chol_linv(S128, M, pad_m)[:, :pad_m]            # [pad_m, pad_m]
+    Sinv = jax.lax.dot_general(Linv, Linv, (((0,), (0,)), ((), ())), precision=_HI)
+
+    W = jax.lax.dot_general(PHt, Sinv, (((1,), (0,)), ((), ())), precision=_HI)
+    nu = nu_ref[..., :pad_m]                    # [1, pad_m]
+    Wnu = jax.lax.dot_general(nu, W, (((1,), (1,)), ((), ())), precision=_HI)  # [1, pad_d]
+    x = x_ref[..., :pad_d]
+    x_upd = x + Wnu
+
+    WS = jax.lax.dot_general(W, S, (((1,), (0,)), ((), ())), precision=_HI)
+    WSWt = jax.lax.dot_general(WS, W, (((1,), (1,)), ((), ())), precision=_HI)
+    P_upd = P - WSWt                            # [pad_d, pad_d]
+
+    # quaternion-'normalisation' covariance transform (monoslam.cpp:616-637)
+    # with the reference's qq=|q|^2 quirk Jacobian; built with vector math
+    qrow = x_upd[:, 3:7]                                        # [1, 4]
+    qq = jnp.sum(qrow * qrow, axis=1, keepdims=True)            # [1, 1]
+    Q1 = jnp.broadcast_to(qrow, (4, 4))                         # rows = q
+    eye4 = jnp.eye(4, dtype=jnp.float32)
+    Q2 = jax.lax.dot_general(Q1, eye4, (((0,), (0,)), ((), ())), precision=_HI)
+    # Q2 = Q1' (cols = q) via a dot so no small-array transpose is needed
+    outer = Q1 * Q2
+    diag_v = (1.0 - qrow * qrow / (qq * qq)) / qq               # [1, 4]
+    Dg = jnp.broadcast_to(diag_v, (4, 4))
+    r4 = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 0)
+    l4 = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 1)
+    J = jnp.where(r4 == l4, Dg, -outer / (qq * qq * qq))
+
+    rowd = jax.lax.broadcasted_iota(jnp.int32, (pad_d, pad_d), 0)
+    laned = jax.lax.broadcasted_iota(jnp.int32, (pad_d, pad_d), 1)
+    Jpad = jnp.pad(J, ((3, pad_d - 7), (3, pad_d - 7)))
+    in_q = (rowd >= 3) & (rowd < 7) & (laned >= 3) & (laned < 7)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    ident = jnp.where((rowd == laned) & (rowd < D), one, zero)
+    T = jnp.where(in_q, Jpad, ident)
+
+    PT = jax.lax.dot_general(P_upd, T, (((1,), (1,)), ((), ())), precision=_HI)
+    P_norm = jax.lax.dot_general(T, PT, (((1,), (0,)), ((), ())), precision=_HI)
+
+    # any-success gate, deleted-slot zeroing, symmetrization
+    anyv = jnp.zeros((1, 1), jnp.float32) + smem_ref[0, 0]
+    any_m = jnp.broadcast_to(anyv > 0.0, (pad_d, pad_d))
+    P_sel = jnp.where(any_m, P_norm, P)
+    x_sel = jnp.where(jnp.broadcast_to(anyv > 0.0, (1, pad_d)), x_upd, x)
+
+    keep = keep_ref[..., :pad_d]                                # [1, pad_d]
+    keep2 = jax.lax.dot_general(keep, keep, (((0,), (0,)), ((), ())), precision=_HI)
+    P_del = P_sel * keep2
+    x_del = x_sel * keep
+
+    Pt = jax.lax.dot_general(
+        P_del, jnp.where(rowd == laned, one, zero),
+        (((0,), (0,)), ((), ())), precision=_HI,
+    )                                                           # P_del'
+    P_out = P_del * 0.5 + Pt * 0.5
+
+    zx = jnp.zeros((1, 128 - pad_d), jnp.float32)
+    ox_ref[...] = jnp.concatenate([x_del, zx], axis=1)
+    zP = jnp.zeros((pad_d, 128 - pad_d), jnp.float32)
+    oP_ref[...] = jnp.concatenate([P_out, zP], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_joint_update_norm(
+    x: jnp.ndarray,          # [D]
+    P: jnp.ndarray,          # [D,D]
+    H: jnp.ndarray,          # [M,D]
+    nu: jnp.ndarray,         # [M]
+    R: jnp.ndarray,          # [M,M]
+    any_succ: jnp.ndarray,   # [] bool
+    keep_dims: jnp.ndarray,  # [D] bool (False rows/cols are zeroed — deletes)
+    interpret: bool | None = None,
+):
+    """Fused joint update + normalise + select + delete + symmetrize.
+
+    Returns (x_out [D], P_out [D,D])."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu" and "axon" not in str(
+            jax.devices()[0].platform
+        ).lower()
+    D = x.shape[0]
+    M = nu.shape[0]
+    assert D <= 128, "single-tile kernel: D must fit one lane row"
+    pad_d = _round_up(D, 8)
+    pad_m = _round_up(M, 8)
+
+    f32 = jnp.float32
+    xp = jnp.zeros((1, 128), f32).at[0, :D].set(x.astype(f32))
+    Pp = jnp.zeros((pad_d, 128), f32).at[:D, :D].set(P.astype(f32))
+    Hp = jnp.zeros((pad_m, 128), f32).at[:M, :D].set(H.astype(f32))
+    nup = jnp.zeros((1, 128), f32).at[0, :M].set(nu.astype(f32))
+    Rp = jnp.zeros((pad_m, 128), f32).at[:M, :M].set(R.astype(f32))
+    keepp = jnp.zeros((1, 128), f32).at[0, :D].set(keep_dims.astype(f32))
+    smem = jnp.zeros((1, 1), f32).at[0, 0].set(any_succ.astype(f32))
+
+    kernel = functools.partial(_update_kernel, D=D, M=M, pad_d=pad_d, pad_m=pad_m)
+    ox, oP = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 128), f32),
+            jax.ShapeDtypeStruct((pad_d, 128), f32),
+        ],
+        interpret=interpret,
+    )(smem, xp, Pp, Hp, nup, Rp, keepp)
+    return ox[0, :D].astype(x.dtype), oP[:D, :D].astype(P.dtype)

@@ -38,6 +38,7 @@ from scenelib2_tpu.core.camera import (
 )
 from scenelib2_tpu.core.quaternion import quat_to_rotation_matrix
 from scenelib2_tpu.kernels import correlate, shi_tomasi
+from scenelib2_tpu.kernels.pallas_ekf import pallas_joint_update_norm
 from scenelib2_tpu.kernels.pallas_particle import pallas_particle_predict
 from scenelib2_tpu.kernels.pallas_score_map import pallas_score_maps
 from scenelib2_tpu.kernels.pallas_search import pallas_elliptical_search_fused
@@ -252,15 +253,9 @@ def make_step(params: Params, dtype=jnp.float64):
         )
         nu_tot = nu_sel.reshape(2 * NSEL)
 
-        x_upd, P_upd, _ = ekf.joint_update(
-            x, P, H_tot, nu_tot, R_tot, pallas_chol=not params.batch_mode
-        )
-        x_upd, P_upd = ekf.normalise(x_upd, P_upd)
         any_succ = n_matched > 0
-        x = jnp.where(any_succ, x_upd, x)
-        P = jnp.where(any_succ, P_upd, P)
 
-        # ---- 5. delete bad features ------------------------------------------
+        # ---- 5./6. bad-feature deletion mask + symmetrize --------------------
         ratio = jnp.where(
             attempts > 0, successes.astype(dtype) / attempts.astype(dtype), 1.0
         )
@@ -269,13 +264,36 @@ def make_step(params: Params, dtype=jnp.float64):
             & (attempts >= params.min_attempted_measurements)
             & (ratio < params.successful_match_fraction)
         )
-        mid_state = state._replace(
-            x=x, P=P, attempts=attempts, successes=successes
+        fast_mode = jnp.zeros((), jnp.float64).dtype == jnp.float32
+        fused_update = (
+            fast_mode and params.use_pallas and not params.batch_mode and D <= 128
         )
-        mid_state = st.delete_mask(mid_state, bad)
-
-        # ---- 6. symmetrize ----------------------------------------------------
-        mid_state = mid_state._replace(P=ekf.symmetrize(mid_state.P))
+        if fused_update:
+            # update + normalise + gate + delete-zeroing + symmetrize as ONE
+            # kernel (pallas_ekf.py); delete_mask then only flips the
+            # per-slot flags
+            keep_dims = jnp.concatenate(
+                [jnp.ones(CAM_DIM, bool), jnp.repeat(~bad, SLOT_DIM)]
+            )
+            x, P = pallas_joint_update_norm(
+                x, P, H_tot, nu_tot, R_tot, any_succ, keep_dims
+            )
+            mid_state = state._replace(
+                x=x, P=P, attempts=attempts, successes=successes
+            )
+            mid_state = st.delete_mask(mid_state, bad, zero_xp=False)
+        else:
+            x_upd, P_upd, _ = ekf.joint_update(
+                x, P, H_tot, nu_tot, R_tot, pallas_chol=not params.batch_mode
+            )
+            x_upd, P_upd = ekf.normalise(x_upd, P_upd)
+            x = jnp.where(any_succ, x_upd, x)
+            P = jnp.where(any_succ, P_upd, P)
+            mid_state = state._replace(
+                x=x, P=P, attempts=attempts, successes=successes
+            )
+            mid_state = st.delete_mask(mid_state, bad)
+            mid_state = mid_state._replace(P=ekf.symmetrize(mid_state.P))
         x, P = mid_state.x, mid_state.P
 
         # ---- 7. speed gate + auto feature initialisation ----------------------
@@ -309,8 +327,6 @@ def make_step(params: Params, dtype=jnp.float64):
         making_any = jnp.any(
             mid_state.active & ~mid_state.full & (mid_state.match_attempts != 0)
         )
-
-        fast_mode = jnp.zeros((), jnp.float64).dtype == jnp.float32
 
         def heavy(s: SlamState):
             if params.use_pallas and fast_mode and not params.batch_mode:
@@ -391,10 +407,27 @@ def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Para
     # roll the motion model forward (monoslam.cpp:880-883); unrolled — a
     # 10-iteration lax.scan of 13-dim ops costs ~0.8 ms/frame as a TPU while.
     # Jacobian-free, exactly like the reference's func_fv-only rollforward.
-    xv_fut = x[:CAM_DIM]
-    u_zero = jnp.zeros(3, x.dtype)
-    for _ in range(params.init_steps_to_predict):
-        xv_fut = motion.func_fv(xv_fut, u_zero, params.delta_t)
+    # Fast mode: with u=0, v and omega are constant across the rollforward,
+    # so ten steps collapse to r + N*dt*v and one rotation by N*dt*omega
+    # (same axis => q(w*dt)^N == q(N*w*dt) exactly in reals; ULP differences
+    # only perturb the region proposal at trunc() boundaries). The f64
+    # parity path keeps the literal 10-step loop.
+    if x.dtype == jnp.float32:
+        from scenelib2_tpu.core.quaternion import quat_from_angular_velocity, quat_mul
+
+        dtN = params.init_steps_to_predict * params.delta_t
+        xv_fut = jnp.concatenate(
+            [
+                x[0:3] + x[7:10] * dtN,
+                quat_mul(x[3:7], quat_from_angular_velocity(x[10:13] * dtN)),
+                x[7:CAM_DIM],
+            ]
+        )
+    else:
+        xv_fut = x[:CAM_DIM]
+        u_zero = jnp.zeros(3, x.dtype)
+        for _ in range(params.init_steps_to_predict):
+            xv_fut = motion.func_fv(xv_fut, u_zero, params.delta_t)
     yW = xv_fut[0:3] + quat_to_rotation_matrix(xv_fut[3:7]) @ jnp.array(
         [0.0, 0.0, params.init_depth_hypothesis], x.dtype
     )
@@ -596,7 +629,6 @@ def _match_partial_features(state: SlamState, corr_maps,
         )
 
     found, zu, zv, p_over = jax.vmap(search_slot)(corr_maps, hpi, sinv, searchable)
-    n_p_overflow = jnp.sum(p_over).astype(jnp.int32)
     z = jnp.stack([zu, zv], axis=-1).astype(dtype)          # [MAXP,NP,2]
 
     # Bayes update of particle probabilities (monoslam.cpp:1446-1493).
@@ -605,45 +637,75 @@ def _match_partial_features(state: SlamState, corr_maps,
     # would have scanned the full ellipse — so it keeps its prior weight
     # (likelihood 1) rather than being zeroed and pruned. When no window
     # overflows (the stock workload) this is exactly the reference rule.
-    nu = z - hpi
-    quad = jnp.einsum("fpi,fpij,fpj->fp", nu, sinv, nu)
-    gauss = (1.0 / jnp.sqrt(2.0 * jnp.pi * dets)) * jnp.exp(-0.5 * quad)
-    likelihood = jnp.where(found, gauss, jnp.where(p_over, 1.0, 0.0))
-    upd = making[:, None] & palive_c
-    prob = jnp.where(upd, prob_c * likelihood, prob_c)
+    if fast and params.use_pallas:
+        # whole chain (likelihood -> Bayes -> prune -> moments -> decisions)
+        # as ONE lane-parallel kernel (pallas_bayes.py): ~45 [1,NP] XLA
+        # micro-fusions otherwise
+        from scenelib2_tpu.kernels.pallas_bayes import pallas_bayes_update
 
-    total = jnp.sum(jnp.where(palive_c, prob, 0.0), axis=1)      # [MAXP]
-    all_zero = making & (total == 0.0)
+        prob_f, palive_f, mean, cov, convert_mask, kill_c, n_over_slot = (
+            pallas_bayes_update(
+                prob_c, lam_c, palive_c, found, p_over, z, hpi, sinv, dets,
+                making, pmask, match_attempts[pidx],
+                prune_prob_thresh=params.prune_prob_thresh,
+                sd_depth_ratio=params.sd_depth_ratio,
+                min_particles=params.min_particles,
+                erase_partial_after_attempts=params.erase_partial_after_attempts,
+            )
+        )
+        n_p_overflow = jnp.sum(n_over_slot).astype(jnp.int32)
+    else:
+        n_p_overflow = jnp.sum(p_over).astype(jnp.int32)
+        nu = z - hpi
+        quad = jnp.einsum("fpi,fpij,fpj->fp", nu, sinv, nu)
+        gauss = (1.0 / jnp.sqrt(2.0 * jnp.pi * dets)) * jnp.exp(-0.5 * quad)
+        likelihood = jnp.where(found, gauss, jnp.where(p_over, 1.0, 0.0))
+        upd = making[:, None] & palive_c
+        prob = jnp.where(upd, prob_c * likelihood, prob_c)
 
-    safe_total = jnp.where(total > 0.0, total, 1.0)
-    prob_n = jnp.where(making[:, None], prob / safe_total[:, None], prob)
+        total = jnp.sum(jnp.where(palive_c, prob, 0.0), axis=1)      # [MAXP]
+        all_zero = making & (total == 0.0)
 
-    # prune below thresh/N_current, then renormalise (feature_init_info.cpp:128-144)
-    n_alive = jnp.sum(palive_c, axis=1)
-    thresh = params.prune_prob_thresh / jnp.maximum(n_alive, 1).astype(dtype)
-    keep = palive_c & ~(making[:, None] & (prob_n < thresh[:, None]))
-    prob_k = jnp.where(keep, prob_n, 0.0)
-    total2 = jnp.sum(prob_k, axis=1)
-    prob_f = jnp.where(
-        making[:, None] & (total2[:, None] > 0.0),
-        prob_k / jnp.where(total2 > 0, total2, 1.0)[:, None],
-        prob_k,
-    )
-    palive_f = jnp.where(making[:, None], keep, palive_c)
-    n_alive_f = jnp.sum(palive_f, axis=1)
+        safe_total = jnp.where(total > 0.0, total, 1.0)
+        prob_n = jnp.where(making[:, None], prob / safe_total[:, None], prob)
 
-    # lambda mean / cov over particles (feature_init_info.cpp:154-174)
-    mean = jnp.sum(lam_c * prob_f, axis=1)
-    exp2 = jnp.sum(lam_c * lam_c * prob_f, axis=1)
-    cov = exp2 - mean * mean
+        # prune below thresh/N_current, renormalise (feature_init_info.cpp:128-144)
+        n_alive = jnp.sum(palive_c, axis=1)
+        thresh = params.prune_prob_thresh / jnp.maximum(n_alive, 1).astype(dtype)
+        keep = palive_c & ~(making[:, None] & (prob_n < thresh[:, None]))
+        prob_k = jnp.where(keep, prob_n, 0.0)
+        total2 = jnp.sum(prob_k, axis=1)
+        prob_f = jnp.where(
+            making[:, None] & (total2[:, None] > 0.0),
+            prob_k / jnp.where(total2 > 0, total2, 1.0)[:, None],
+            prob_k,
+        )
+        palive_f = jnp.where(making[:, None], keep, palive_c)
+        n_alive_f = jnp.sum(palive_f, axis=1)
 
-    ratio = jnp.sqrt(cov) / mean
-    convert_mask = (
-        making
-        & ~all_zero
-        & (ratio < params.sd_depth_ratio)
-        & (n_alive_f > params.min_particles)
-    )
+        # lambda mean / cov over particles (feature_init_info.cpp:154-174)
+        mean = jnp.sum(lam_c * prob_f, axis=1)
+        exp2 = jnp.sum(lam_c * lam_c * prob_f, axis=1)
+        cov = exp2 - mean * mean
+
+        ratio = jnp.sqrt(cov) / mean
+        convert_mask = (
+            making
+            & ~all_zero
+            & (ratio < params.sd_depth_ratio)
+            & (n_alive_f > params.min_particles)
+        )
+        # deletions: all-zero-probability features (monoslam.cpp:1486-1493)
+        # and past-sell-by-date (monoslam.cpp:1502-1517)
+        sell_by_c = (
+            pmask
+            & ~convert_mask
+            & (
+                (match_attempts[pidx] > params.erase_partial_after_attempts)
+                | (n_alive_f <= params.min_particles)
+            )
+        )
+        kill_c = all_zero | sell_by_c
 
     # scatter compact particle state back to the full-width arrays
     # (top_k indices are distinct; padding rows write their own values back)
@@ -659,17 +721,6 @@ def _match_partial_features(state: SlamState, corr_maps,
         state = st.convert_feature(state, pidx[j], mean[j], cov[j], convert_mask[j])
     did_convert = jnp.any(convert_mask)
 
-    # deletions: all-zero-probability features (monoslam.cpp:1486-1493) and
-    # past-sell-by-date (monoslam.cpp:1502-1517)
-    sell_by_c = (
-        pmask
-        & ~convert_mask
-        & (
-            (match_attempts[pidx] > params.erase_partial_after_attempts)
-            | (n_alive_f <= params.min_particles)
-        )
-    )
-    kill_c = all_zero | sell_by_c
     kill = jnp.zeros(MF, bool).at[pidx].set(kill_c & pmask)
     kill = kill & state.active & ~state.full
     state = st.delete_mask(state, kill)

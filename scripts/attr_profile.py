@@ -128,8 +128,19 @@ def main():
                 counts[key] += 1
             total = sum(by_path.values())
             print(f"\n== attributed device time: {total:.2f} ms ==")
-            for k, ms in sorted(by_path.items(), key=lambda kv: -kv[1])[:50]:
+            top = int(os.environ.get("TOP", "50"))
+            for k, ms in sorted(by_path.items(), key=lambda kv: -kv[1])[:top]:
                 print(f"{ms:9.3f} ms  x{counts[k]:<7d} {k[:100]}")
+            # aggregate by source file (or raw bucket) for the long tail
+            by_file = defaultdict(float)
+            file_counts = defaultdict(int)
+            for k, ms in by_path.items():
+                f = k.split(":")[0] if ":" in k.split(" ")[0] else k.split(" ")[0]
+                by_file[f] += ms
+                file_counts[f] += counts[k]
+            print("\n== by source file ==")
+            for k, ms in sorted(by_file.items(), key=lambda kv: -kv[1])[:25]:
+                print(f"{ms:9.3f} ms  x{file_counts[k]:<7d} {k}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,75 @@
+"""Fused EKF update kernel vs the XLA update+normalise+delete+symmetrize
+sequence (interpret mode on CPU; f32-level tolerances)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from scenelib2_tpu.core import ekf
+from scenelib2_tpu.kernels.pallas_ekf import pallas_joint_update_norm
+
+CAM_DIM = 13
+SLOT_DIM = 6
+
+
+def _xla_sequence(x, P, H, nu, R, any_succ, keep_dims):
+    x_upd, P_upd, _ = ekf.joint_update(x, P, H, nu, R, pallas_chol=False)
+    x_upd, P_upd = ekf.normalise(x_upd, P_upd)
+    x1 = jnp.where(any_succ, x_upd, x)
+    P1 = jnp.where(any_succ, P_upd, P)
+    P1 = jnp.where(keep_dims[:, None] & keep_dims[None, :], P1, 0.0)
+    x1 = jnp.where(keep_dims, x1, 0.0)
+    return x1, ekf.symmetrize(P1)
+
+
+def _problem(rng, MF=4, NSEL=3, n_bad=1):
+    D = CAM_DIM + SLOT_DIM * MF
+    M = 2 * NSEL
+    A = rng.normal(size=(D, D))
+    P = A @ A.T / D * 1e-3 + np.eye(D) * 1e-4
+    x = rng.normal(size=D) * 0.1
+    x[3:7] = rng.normal(size=4)
+    x[3:7] /= np.linalg.norm(x[3:7]) * (1.0 + 1e-3)   # near-unit quaternion
+    H = np.zeros((M, D))
+    for k in range(NSEL):
+        H[2 * k : 2 * k + 2, :7] = rng.normal(size=(2, 7))
+        off = CAM_DIM + SLOT_DIM * k
+        H[2 * k : 2 * k + 2, off : off + 3] = rng.normal(size=(2, 3))
+    nu = rng.normal(size=M) * 0.5
+    R = np.eye(M) * 1.0
+    keep = np.ones(D, bool)
+    for k in range(n_bad):
+        off = CAM_DIM + SLOT_DIM * (MF - 1 - k)
+        keep[off : off + SLOT_DIM] = False
+    return x, P, H, nu, R, keep
+
+
+def test_fused_update_matches_xla(rng):
+    x, P, H, nu, R, keep = _problem(rng)
+    args = [jnp.asarray(a) for a in (x, P, H, nu, R)]
+    keep_j = jnp.asarray(keep)
+    want_x, want_P = _xla_sequence(*args, jnp.asarray(True), keep_j)
+    got_x, got_P = pallas_joint_update_norm(
+        *args, jnp.asarray(True), keep_j, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
+                               rtol=5e-4, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(got_P), np.asarray(want_P),
+                               rtol=5e-3, atol=5e-7)
+    # symmetry + exact zeroing of deleted dims
+    np.testing.assert_array_equal(np.asarray(got_P), np.asarray(got_P).T)
+    assert np.all(np.asarray(got_P)[~keep, :] == 0.0)
+    assert np.all(np.asarray(got_x)[~keep] == 0.0)
+
+
+def test_fused_update_no_success_keeps_prior(rng):
+    x, P, H, nu, R, keep = _problem(rng, n_bad=0)
+    args = [jnp.asarray(a) for a in (x, P, H, nu, R)]
+    keep_j = jnp.asarray(keep)
+    got_x, got_P = pallas_joint_update_norm(
+        *args, jnp.asarray(False), keep_j, interpret=True
+    )
+    # prior state survives untouched (up to the f32 symmetrize)
+    np.testing.assert_allclose(np.asarray(got_x), x, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(got_P), (P + P.T) / 2, rtol=1e-6, atol=1e-9
+    )
