@@ -159,27 +159,73 @@ def make_step(params: Params, dtype=jnp.float64):
         pyy3 = st.slot_pyy(P, MF)[:, :3, :3]
         Pxx = P[:CAM_DIM, :CAM_DIM]
 
-        def per_slot(y, pxy_i, pyy_i, xp_org):
-            h, hx7, hy, zeroed = models.full_predict_measurement(cam, y, xp)
-            hx = jnp.pad(hx7, dxp_pad)
-            R = measurement_noise(cam, h)
-            S = models.innovation_covariance(Pxx, pxy_i, pyy_i, hx, hy, R)
-            vis = models.full_visibility_test(
-                cam, xp, y, xp_org, h,
-                params.image_search_boundary, params.max_length_ratio,
-                params.max_angle_difference,
-            )
-            return h, hx, hy, R, S, vis, zeroed[2]
-
-        h_all, hx_all, hy_all, R_all, S_all, vis_all, zz_all = jax.vmap(per_slot)(
-            ys3, pxy3, pyy3, state.xp_org
+        fast_kpath = (
+            (jnp.zeros((), jnp.float64).dtype == jnp.float32)
+            and params.use_pallas
+            and not params.batch_mode
         )
+        if fast_kpath:
+            # whole per-slot chain (rotation, projection, Jacobians, S_i,
+            # noise, visibility, 2x2 inverse, score) lane-parallel in ONE
+            # kernel; selection then gathers one [NOUT, NSEL] column block
+            from scenelib2_tpu.kernels import pallas_measure as pmeas
 
-        visible = state.active & state.full & (vis_all == 0)
-        n_visible = jnp.sum(visible).astype(jnp.int32)
-        score = jnp.where(visible, S_all[:, 0, 0] + S_all[:, 1, 1], _NEG_INF)
-        top_score, top_idx = lax.top_k(score, NSEL)
-        sel_mask = top_score > _NEG_INF
+            meas = pmeas.pallas_measure_predict(
+                xp, Pxx[:7, :7], ys3, state.xp_org,
+                st.slot_pxy(P, MF)[:, :7, :3], pyy3,
+                state.active & state.full,
+                cam_static=(cam.fku, cam.fkv, cam.u0, cam.v0, cam.kd1),
+                sd0=cam.sd, image_shape=(H, W),
+                boundary=params.image_search_boundary,
+                max_length_ratio=params.max_length_ratio,
+                max_angle_difference=params.max_angle_difference,
+            ).astype(dtype)
+            visible = state.active & state.full & (meas[pmeas.O_VIS] == 0.0)
+            n_visible = jnp.sum(visible).astype(jnp.int32)
+            score = meas[pmeas.O_SCORE]
+            top_score, top_idx = lax.top_k(score, NSEL)
+            sel_mask = top_score > _NEG_INF
+            sel = meas[:, top_idx]                          # [NOUT, NSEL]
+            h_sel = sel[pmeas.O_H : pmeas.O_H + 2].T
+            hx_sel = sel[pmeas.O_HX : pmeas.O_HX + 14].T.reshape(NSEL, 2, 7)
+            hy_sel = sel[pmeas.O_HY : pmeas.O_HY + 6].T.reshape(NSEL, 2, 3)
+            Rd_sel = sel[pmeas.O_RD]
+            S_sel = jnp.stack(
+                [sel[pmeas.O_S], sel[pmeas.O_S + 1],
+                 sel[pmeas.O_S + 1], sel[pmeas.O_S + 2]], axis=1
+            ).reshape(NSEL, 2, 2)
+            sinv_sel = jnp.stack(
+                [sel[pmeas.O_SINV], sel[pmeas.O_SINV + 1],
+                 sel[pmeas.O_SINV + 1], sel[pmeas.O_SINV + 2]], axis=1
+            ).reshape(NSEL, 2, 2)
+        else:
+            def per_slot(y, pxy_i, pyy_i, xp_org):
+                h, hx7, hy, zeroed = models.full_predict_measurement(cam, y, xp)
+                R = measurement_noise(cam, h)
+                S = models.innovation_covariance(
+                    Pxx, pxy_i, pyy_i, jnp.pad(hx7, dxp_pad), hy, R
+                )
+                vis = models.full_visibility_test(
+                    cam, xp, y, xp_org, h,
+                    params.image_search_boundary, params.max_length_ratio,
+                    params.max_angle_difference,
+                )
+                return h, hx7, hy, R, S, vis
+
+            h_all, hx_all, hy_all, R_all, S_all, vis_all = jax.vmap(per_slot)(
+                ys3, pxy3, pyy3, state.xp_org
+            )
+            visible = state.active & state.full & (vis_all == 0)
+            n_visible = jnp.sum(visible).astype(jnp.int32)
+            score = jnp.where(visible, S_all[:, 0, 0] + S_all[:, 1, 1], _NEG_INF)
+            top_score, top_idx = lax.top_k(score, NSEL)
+            sel_mask = top_score > _NEG_INF
+            h_sel = h_all[top_idx]
+            hx_sel = hx_all[top_idx]
+            hy_sel = hy_all[top_idx]
+            Rd_sel = R_all[top_idx][:, 0, 0]
+            S_sel = S_all[top_idx]
+            sinv_sel = jax.vmap(ekf.inv2x2_via_chol)(S_sel)
         n_selected = jnp.sum(sel_mask).astype(jnp.int32)
 
         # ---- 3. integer sums + windowed search -------------------------------
@@ -192,13 +238,12 @@ def make_step(params: Params, dtype=jnp.float64):
         pvals, pidx = lax.top_k((state.active & ~state.full).astype(jnp.int32), MAXP)
         pmask = pvals > 0
         u0_sel, v0_sel, _, _ = correlate.search_window_origin(
-            h_all[top_idx], params.search_win_radius, W, H, B, round_half=True
+            h_sel, params.search_win_radius, W, H, B, round_half=True
         )
-        sinv_sel = jax.vmap(ekf.inv2x2_via_chol)(S_all[top_idx])
         if params.use_pallas:
             s_found, s_u, s_v, s_best, s_over = pallas_elliptical_search_fused(
                 frame_u8, state.patches[top_idx], u0_sel, v0_sel,
-                h_all[top_idx], sinv_sel, sel_mask,
+                h_sel, sinv_sel, sel_mask,
                 image_shape=(H, W), boxsize=B,
                 win_radius=params.search_win_radius,
                 no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
@@ -216,7 +261,7 @@ def make_step(params: Params, dtype=jnp.float64):
             sg0_sel, sg0sq_sel = correlate.patch_stats(state.patches[top_idx])
             search = correlate.elliptical_search_batch(
                 fsums, cross_win, sg0_sel, sg0sq_sel, u0_sel, v0_sel,
-                h_all[top_idx], sinv_sel, sel_mask, B,
+                h_sel, sinv_sel, sel_mask, B,
                 win_radius=params.search_win_radius,
                 no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
                 corr_sigma_thresh=params.corr_sigma_thresh,
@@ -224,7 +269,7 @@ def make_step(params: Params, dtype=jnp.float64):
             )
         succ = search.found                                   # [NSEL]
         z_sel = jnp.stack([search.u, search.v], axis=1).astype(dtype)
-        nu_sel = jnp.where(succ[:, None], z_sel - h_all[top_idx], 0.0)
+        nu_sel = jnp.where(succ[:, None], z_sel - h_sel, 0.0)
         n_matched = jnp.sum(succ).astype(jnp.int32)
 
         attempts = state.attempts.at[top_idx].add(sel_mask.astype(jnp.int32))
@@ -238,13 +283,17 @@ def make_step(params: Params, dtype=jnp.float64):
         # dynamic_update_slice lowers to a serial while on TPU).
         col_ids = offs[:, None] + jnp.arange(3, dtype=top_idx.dtype)[None, :]  # [NSEL,3]
         onehot = (col_ids[:, :, None] == jnp.arange(D)[None, None, :]).astype(dtype)
-        hy_masked = jnp.where(succ[:, None, None], hy_all[top_idx], 0.0)
+        hy_masked = jnp.where(succ[:, None, None], hy_sel, 0.0)
         H_rows = jnp.einsum("kij,kjd->kid", hy_masked, onehot)
-        H_rows = H_rows.at[:, :, :CAM_DIM].set(
-            jnp.where(succ[:, None, None], hx_all[top_idx], 0.0)
+        H_rows = H_rows.at[:, :, :7].set(
+            jnp.where(succ[:, None, None], hx_sel, 0.0)
         )
         H_tot = H_rows.reshape(2 * NSEL, D)
-        R_blocks = jnp.where(succ[:, None, None], R_all[top_idx], jnp.eye(2, dtype=dtype))
+        R_blocks = jnp.where(
+            succ[:, None, None],
+            Rd_sel[:, None, None] * jnp.eye(2, dtype=dtype),
+            jnp.eye(2, dtype=dtype),
+        )
         R_tot = (
             jnp.zeros((NSEL, 2, NSEL, 2), dtype)
             .at[jnp.arange(NSEL), :, jnp.arange(NSEL), :]
@@ -328,8 +377,17 @@ def make_step(params: Params, dtype=jnp.float64):
             mid_state.active & ~mid_state.full & (mid_state.match_attempts != 0)
         )
 
+        # the fused score-map kernel keeps ~26 frame-sized f32 temporaries
+        # live in VMEM (Mosaic scheduling); above ~150k pixels that blows the
+        # 16MB scoped-vmem limit (640x480 measured 31.8M) — large frames
+        # keep the XLA map construction
+        score_map_fits_vmem = (
+            ((H + 7) // 8 * 8) * ((W + 127) // 128 * 128) * 4 * 26 < 15_000_000
+        )
+
         def heavy(s: SlamState):
-            if params.use_pallas and fast_mode and not params.batch_mode:
+            if (params.use_pallas and fast_mode and not params.batch_mode
+                    and score_map_fits_vmem):
                 # one fused VMEM-resident kernel (box sums + cross-corr +
                 # NSSD + penalty); bit-identical to the XLA f32 map
                 corr_maps = pallas_score_maps(
@@ -380,8 +438,8 @@ def make_step(params: Params, dtype=jnp.float64):
             n_overflow=jnp.sum(search.overflow).astype(jnp.int32) + n_p_overflow,
             sel_slot=top_idx.astype(jnp.int32),
             sel_mask=sel_mask,
-            sel_h=h_all[top_idx],
-            sel_S=S_all[top_idx],
+            sel_h=h_sel,
+            sel_S=S_sel,
             sel_z=z_sel,
             sel_matched=succ,
         )
