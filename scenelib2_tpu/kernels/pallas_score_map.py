@@ -1,24 +1,25 @@
 """Fused full-image penalized NSSD score map as one Pallas TPU kernel.
 
 The XLA fast-mode path builds each partial-feature score map from ~140
-separate [H,W] passes (121 statically-shifted cross-correlation FMAs that
-XLA only partially fuses, two reduce_window box sums, and the NSSD formula
-chain) — profiled at ~60us/frame on v5e, almost all of it HBM round-trips
-between micro-fusions. This kernel keeps the frame VMEM-resident and does
-box sums, patch cross-correlation, the NSSD score, the low-sigma penalty
-and the centre-validity mask in a single pass.
+separate [H,W] passes (121 partially-fused shifted cross-correlation FMAs,
+two reduce_window box sums, and the NSSD formula chain) — profiled at
+~60us/frame at 320x240 on v5e (4x that at 640x480), almost all of it HBM
+round-trips between micro-fusions. This kernel does box sums, patch
+cross-correlation, the NSSD score, the low-sigma penalty and the
+centre-validity mask in a single fused pass.
+
+The grid runs over (patch, row-band): each step reads an 8-aligned
+(BAND+16)-row input block (Element-indexed, auto double-buffered) and
+writes one BAND-row output block, so peak VMEM stays ~2MB at any image
+size (the whole-frame variant kept ~26 frame-sized temporaries live and
+blew the 16MB scoped-vmem limit at 640x480).
 
 Bit-exactness: all integer sums (Sg1, Sg1sq, Sg0g1) are exact in f32
 (values < 2^24), and the f32 score formula mirrors correlate.nssd_score op
-for op, so the output map is bit-identical to the XLA fast-mode map
-(penalized_score_map(frame_sums(..), cross_sum_maps(..)..)) — verified by
-tests/test_pallas_search.py. Reference semantics: improc.cpp:55-134 +
-search_multiple_overlapping_ellipses.h:56 (+5 low-sigma penalty, no skip).
-
-Layout: grid (F,) over patches; the padded f32 frame is a shared VMEM
-input (index_map pins block (0,0) so it stays resident across grid steps).
-Rolls are dx-outer/dy-inner: 121 cheap sublane rolls + ~30 lane rolls,
-keeping only ~6 frame-sized temporaries live (fits VMEM at 640x480 too).
+for op, so the output map is bit-identical to the XLA fast-mode map —
+verified by tests/test_pallas_search.py. Reference semantics:
+improc.cpp:55-134 + search_multiple_overlapping_ellipses.h:56 (+5
+low-sigma penalty, no skip).
 """
 
 from __future__ import annotations
@@ -30,25 +31,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_BAND = 64          # output rows per grid step
+_HALO = 16          # extra input rows (8-aligned slack + boxsize-1 lookahead)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _score_map_kernel(smem_ref, img_ref, out_ref, *, B, H, W, pad_h, pad_w,
-                      corr_sigma_thresh, low_sigma_penalty):
-    """smem_ref (SMEM [1,1,128]): lanes 0..B*B-1 patch row-major, B*B = Sg0,
-    B*B+1 = Sg0sq. img_ref (VMEM [pad_h,pad_w]) f32 frame, zero-padded.
-    out_ref (VMEM [1,pad_h,pad_w]) f32 penalized score map (centre-indexed).
-    """
+def _score_map_kernel(st_ref, smem_ref, img_ref, out_ref, *, B, H, W, pad_w,
+                      corr_sigma_thresh, low_sigma_penalty, in_rows, n_bands):
+    """st_ref (scalar prefetch [n_bands] i32): per-band 8-aligned input start
+    rows. smem_ref (SMEM [1,1,128]): lanes 0..B*B-1 patch row-major, B*B =
+    Sg0, B*B+1 = Sg0sq. img_ref (VMEM [in_rows, pad_w]) f32 rows around this
+    band, zero-padded. out_ref (VMEM [1, BAND, pad_w]) centre-indexed
+    penalized scores for this band."""
     n = float(B * B)
     half = (B - 1) // 2
+    band = pl.program_id(1)
+    o0 = band * _BAND
+    in_start = st_ref[band]
     img = img_ref[...]
     img2 = img * img
 
-    # top-left-indexed 11x11 sums via rolls: out[i] = x[i+d] == roll(x, n-d)
+    # top-left-indexed sums via rolls: out[i] = x[i+d] == roll(x, n-d)
     def shift0(x, dy):
-        return x if dy == 0 else pltpu.roll(x, pad_h - dy, 0)
+        return x if dy == 0 else pltpu.roll(x, in_rows - dy, 0)
 
     def shift1(x, dx):
         return x if dx == 0 else pltpu.roll(x, pad_w - dx, 1)
@@ -74,13 +82,17 @@ def _score_map_kernel(smem_ref, img_ref, out_ref, *, B, H, W, pad_h, pad_w,
             t = t + smem_ref[0, 0, dy * B + dx] * shift0(img, dy)
         cross = cross + shift1(t, dx)
 
-    # centre-indexed: map[v,u] = topleft[v-half, u-half]
-    def centre(x):
-        return pltpu.roll(pltpu.roll(x, half, 0), half, 1)
+    # local row of tl for output row j (absolute v = o0+j):
+    # tl_local[(o0 - in_start - half) + j] -> dynamic roll + slice
+    dv = o0 - in_start
+    shift = (half - dv) % in_rows              # roll(x, s)[i] = x[i - s]
 
-    sg1 = centre(sg1)
-    sg1sq = centre(sg1sq)
-    cross = centre(cross)
+    def band_rows(x):
+        return pltpu.roll(pltpu.roll(x, shift, 0)[:_BAND, :], half, 1)
+
+    sg1 = band_rows(sg1)
+    sg1sq = band_rows(sg1sq)
+    cross = band_rows(cross)
 
     sg0 = smem_ref[0, 0, B * B]
     sg0sq = smem_ref[0, 0, B * B + 1]
@@ -107,6 +119,77 @@ def _score_map_kernel(smem_ref, img_ref, out_ref, *, B, H, W, pad_h, pad_w,
     # low image-sigma penalty (search_multiple_overlapping_ellipses.h:56) and
     # 1e6 at invalid centres, exactly as correlate.penalized_score_map
     corr = jnp.where(sd1 < corr_sigma_thresh, corr + low_sigma_penalty, corr)
+    uu = jax.lax.broadcasted_iota(jnp.int32, (_BAND, pad_w), 1)
+    vv = o0 + jax.lax.broadcasted_iota(jnp.int32, (_BAND, pad_w), 0)
+    valid = (uu >= half) & (uu <= W - 1 - half) & (vv >= half) & (vv <= H - 1 - half)
+    out_ref[0] = jnp.where(valid, corr, 1e6)
+
+
+def _score_map_kernel_whole(smem_ref, img_ref, out_ref, *, B, H, W, pad_h,
+                            pad_w, corr_sigma_thresh, low_sigma_penalty):
+    """Whole-frame variant (no banding): cheaper per frame when the ~26
+    frame-sized temporaries Mosaic keeps live fit VMEM (measured 1.70ms vs
+    2.13ms per 154 heavy frames at 320x240); the banded kernel takes over
+    above ~150k pixels where this one blows the 16MB scoped-vmem limit."""
+    n = float(B * B)
+    half = (B - 1) // 2
+    img = img_ref[...]
+    img2 = img * img
+
+    def shift0(x, dy):
+        return x if dy == 0 else pltpu.roll(x, pad_h - dy, 0)
+
+    def shift1(x, dx):
+        return x if dx == 0 else pltpu.roll(x, pad_w - dx, 1)
+
+    colsum = img
+    colsum2 = img2
+    for dy in range(1, B):
+        colsum = colsum + shift0(img, dy)
+        colsum2 = colsum2 + shift0(img2, dy)
+
+    sg1 = colsum
+    sg1sq = colsum2
+    for dx in range(1, B):
+        sg1 = sg1 + shift1(colsum, dx)
+        sg1sq = sg1sq + shift1(colsum2, dx)
+
+    cross = jnp.zeros_like(img)
+    for dx in range(B):
+        t = smem_ref[0, 0, dx] * img
+        for dy in range(1, B):
+            t = t + smem_ref[0, 0, dy * B + dx] * shift0(img, dy)
+        cross = cross + shift1(t, dx)
+
+    def centre(x):
+        return pltpu.roll(pltpu.roll(x, half, 0), half, 1)
+
+    sg1 = centre(sg1)
+    sg1sq = centre(sg1sq)
+    cross = centre(cross)
+
+    sg0 = smem_ref[0, 0, B * B]
+    sg0sq = smem_ref[0, 0, B * B + 1]
+
+    g0bar = sg0 / n
+    g1bar = sg1 / n
+    varg0 = sg0sq / n - g0bar * g0bar
+    varg1 = sg1sq / n - g1bar * g1bar
+    sd0 = jnp.sqrt(varg0)
+    sd1 = jnp.sqrt(varg1)
+    v1s = jnp.where(varg1 == 0.0, 1.0, varg1)
+    s1 = jnp.sqrt(v1s)
+    v0s = jnp.where(varg0 == 0.0, 1.0, varg0)
+    s0 = jnp.sqrt(v0s)
+    k = g0bar / s0 - g1bar / s1
+    corr = (
+        sg0sq / v0s + sg1sq / v1s + n * (k * k)
+        - cross * 2.0 / (s0 * s1) - sg0 * 2.0 * k / s0 + sg1 * 2.0 * k / s1
+    ) / n
+    both_zero = (sd0 == 0.0) & (sd1 == 0.0)
+    corr = jnp.where((sd0 != 0.0) & (sd1 != 0.0), corr, jnp.where(both_zero, 0.0, 1.0))
+
+    corr = jnp.where(sd1 < corr_sigma_thresh, corr + low_sigma_penalty, corr)
     uu = jax.lax.broadcasted_iota(jnp.int32, (pad_h, pad_w), 1)
     vv = jax.lax.broadcasted_iota(jnp.int32, (pad_h, pad_w), 0)
     valid = (uu >= half) & (uu <= W - 1 - half) & (vv >= half) & (vv <= H - 1 - half)
@@ -115,7 +198,8 @@ def _score_map_kernel(smem_ref, img_ref, out_ref, *, B, H, W, pad_h, pad_w,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("boxsize", "corr_sigma_thresh", "low_sigma_penalty", "interpret"),
+    static_argnames=("boxsize", "corr_sigma_thresh", "low_sigma_penalty",
+                     "interpret", "force_banded"),
 )
 def pallas_score_maps(
     frame_u8: jnp.ndarray,     # [H,W]
@@ -124,6 +208,7 @@ def pallas_score_maps(
     corr_sigma_thresh: float = 10.0,
     low_sigma_penalty: float = 5.0,
     interpret: bool | None = None,
+    force_banded: bool = False,
 ) -> jnp.ndarray:
     """Penalized NSSD score map for every patch: [F,H,W] f32."""
     if interpret is None:
@@ -132,11 +217,9 @@ def pallas_score_maps(
         ).lower()
     H, W = frame_u8.shape
     F, B, _ = patches_u8.shape
-    assert B * B + 2 <= 128, "patch must flatten into one SMEM lane row"
-    pad_h = _round_up(H, 8)
+    assert B * B + 2 <= 128, "patch stats must fit one SMEM row"
     pad_w = _round_up(W, 128)
 
-    img = jnp.pad(frame_u8.astype(jnp.float32), ((0, pad_h - H), (0, pad_w - W)))
     p32 = patches_u8.astype(jnp.int32)
     sg0 = p32.sum(axis=(1, 2)).astype(jnp.float32)
     sg0sq = (p32 * p32).sum(axis=(1, 2)).astype(jnp.float32)
@@ -145,20 +228,63 @@ def pallas_score_maps(
     smem = smem.at[:, 0, B * B].set(sg0)
     smem = smem.at[:, 0, B * B + 1].set(sg0sq)
 
+    # whole-frame kernel while its ~26 live temporaries fit scoped VMEM
+    # (15MB/26 per buffer); banded (BAND+16-row blocks) above that
+    if not force_banded and _round_up(H, 8) * pad_w * 4 * 26 < 15_000_000:
+        pad_h = _round_up(H, 8)
+        img = jnp.pad(frame_u8.astype(jnp.float32), ((0, pad_h - H), (0, pad_w - W)))
+        kernel = functools.partial(
+            _score_map_kernel_whole,
+            B=B, H=H, W=W, pad_h=pad_h, pad_w=pad_w,
+            corr_sigma_thresh=corr_sigma_thresh,
+            low_sigma_penalty=low_sigma_penalty,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(F,),
+            in_specs=[
+                pl.BlockSpec((1, 1, 128), lambda f: (f, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((pad_h, pad_w), lambda f: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, pad_h, pad_w), lambda f: (f, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((F, pad_h, pad_w), jnp.float32),
+            interpret=interpret,
+        )(smem, img)
+        return out[:, :H, :W]
+
+    n_bands = -(-H // _BAND)
+    in_rows = _BAND + _HALO
+    pad_h = max(_round_up(H, 8), in_rows, (n_bands - 1) * _BAND - 8 + in_rows)
+    img = jnp.pad(frame_u8.astype(jnp.float32), ((0, pad_h - H), (0, pad_w - W)))
+    # per-band 8-aligned input start rows (static table)
+    starts = [min(max(b * _BAND - 8, 0), pad_h - in_rows) for b in range(n_bands)]
+    starts_j = jnp.asarray(starts, jnp.int32)
+
     kernel = functools.partial(
         _score_map_kernel,
-        B=B, H=H, W=W, pad_h=pad_h, pad_w=pad_w,
+        B=B, H=H, W=W, pad_w=pad_w,
         corr_sigma_thresh=corr_sigma_thresh, low_sigma_penalty=low_sigma_penalty,
+        in_rows=in_rows, n_bands=n_bands,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(F, n_bands),
+        in_specs=[
+            pl.BlockSpec((1, 1, 128), lambda f, b, st: (f, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (pl.Element(in_rows), pl.Element(pad_w)),
+                lambda f, b, st: (pl.multiple_of(st[b], 8), 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, _BAND, pad_w), lambda f, b, st: (f, b, 0)),
     )
     out = pl.pallas_call(
         kernel,
-        grid=(F,),
-        in_specs=[
-            pl.BlockSpec((1, 1, 128), lambda f: (f, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((pad_h, pad_w), lambda f: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, pad_h, pad_w), lambda f: (f, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((F, pad_h, pad_w), jnp.float32),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F, n_bands * _BAND, pad_w), jnp.float32),
         interpret=interpret,
-    )(smem, img)
+    )(starts_j, smem, img)
     return out[:, :H, :W]

@@ -377,17 +377,8 @@ def make_step(params: Params, dtype=jnp.float64):
             mid_state.active & ~mid_state.full & (mid_state.match_attempts != 0)
         )
 
-        # the fused score-map kernel keeps ~26 frame-sized f32 temporaries
-        # live in VMEM (Mosaic scheduling); above ~150k pixels that blows the
-        # 16MB scoped-vmem limit (640x480 measured 31.8M) — large frames
-        # keep the XLA map construction
-        score_map_fits_vmem = (
-            ((H + 7) // 8 * 8) * ((W + 127) // 128 * 128) * 4 * 26 < 15_000_000
-        )
-
         def heavy(s: SlamState):
-            if (params.use_pallas and fast_mode and not params.batch_mode
-                    and score_map_fits_vmem):
+            if params.use_pallas and fast_mode and not params.batch_mode:
                 # one fused VMEM-resident kernel (box sums + cross-corr +
                 # NSSD + penalty); bit-identical to the XLA f32 map
                 corr_maps = pallas_score_maps(

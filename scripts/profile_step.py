@@ -32,12 +32,27 @@ from scenelib2_tpu.runtime import step as step_mod
 
 
 def main():
-    cache = f"/tmp/scenelib2_bench_v{DATASET_VERSION}_240"
     n = int(os.environ.get("FRAMES", "48"))
-    frames = np.load(os.path.join(cache, "frames.npy"))[1 : n + 1]
-    cfg = load_config(os.path.join(cache, "synthetic.cfg"))
     use_pallas = os.environ.get("PROFILE_PALLAS", "1") == "1"
-    params = dataclasses.replace(cfg.params, max_features=16, use_pallas=use_pallas)
+    if os.environ.get("PROFILE_CONFIG", "std") == "hires":
+        # mirror eval.benchmark.bench_hires
+        from scenelib2_tpu.config import Params
+        from scenelib2_tpu.eval import benchmark as B
+
+        p = Params(
+            cam_width=640, cam_height=480, cam_fku=390.0, cam_fkv=390.0,
+            cam_u0=324.0, cam_v0=250.0, max_features=60,
+            search_win_radius=48, particle_win_radius=52, n_particles=200,
+        )
+        frames, cfg_path, _ = B._dataset(n + 1, params=p, tag="hires")
+        frames = frames[1 : n + 1]
+        cfg = load_config(cfg_path)
+        params = dataclasses.replace(cfg.params, use_pallas=use_pallas)
+    else:
+        cache = f"/tmp/scenelib2_bench_v{DATASET_VERSION}_240"
+        frames = np.load(os.path.join(cache, "frames.npy"))[1 : n + 1]
+        cfg = load_config(os.path.join(cache, "synthetic.cfg"))
+        params = dataclasses.replace(cfg.params, max_features=16, use_pallas=use_pallas)
     s0 = st.init_state(params, cfg.xv0, cfg.pxx0)
     for kf in cfg.known_features:
         s0 = st.add_known_feature(s0, kf.y, kf.xp_org, read_pgm(kf.patch_path))

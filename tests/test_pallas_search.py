@@ -328,3 +328,23 @@ def test_pallas_fused_search_matches_gathered(scene, rng):
         if bool(f0[k]):
             assert (int(u0r[k]), int(v0r[k])) == (int(u1[k]), int(v1[k]))
             assert float(b0[k]) == float(b1[k])
+
+
+def test_pallas_score_map_banded_matches_whole(rng):
+    """The row-banded kernel variant (used above the VMEM size threshold)
+    must produce the identical map as the whole-frame variant."""
+    from scenelib2_tpu.kernels.pallas_score_map import pallas_score_maps
+
+    img = rng.integers(0, 256, size=(200, 256), dtype=np.uint8)
+    patches = np.stack([img[40:51, 60:71].copy(), img[100:111, 30:41].copy()])
+    whole = np.asarray(
+        pallas_score_maps(jnp.asarray(img), jnp.asarray(patches), boxsize=B,
+                          interpret=True)
+    )
+    banded = np.asarray(
+        pallas_score_maps(jnp.asarray(img), jnp.asarray(patches), boxsize=B,
+                          interpret=True, force_banded=True)
+    )
+    nan_w = np.isnan(whole)
+    np.testing.assert_array_equal(nan_w, np.isnan(banded))
+    np.testing.assert_array_equal(whole[~nan_w], banded[~nan_w])
