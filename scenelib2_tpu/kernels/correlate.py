@@ -416,7 +416,10 @@ def multi_ellipse_search_rowband(
     IDENTICAL to the dense form (the v-window test selects exactly these
     rows), so results are bit-equal in either precision. Measured on v5e:
     ~30% faster than the dense form and ~20% faster than a Pallas
-    per-particle band kernel (serial in-kernel particle loop).
+    per-particle band kernel (serial in-kernel particle loop). A further
+    take_along_axis COLUMN gather (narrowing to [P, side_v, side_u]) was 3x
+    faster standalone but 6% slower in the full step — XLA inserts a
+    layout-transposing copy of the band first; do not retry.
     Returns (found, u, v, overflow) each [P]."""
     H, W = corr_map.shape
     side_u = min(2 * win_radius + 1, W)
