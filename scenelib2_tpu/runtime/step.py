@@ -545,9 +545,17 @@ def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Para
     ru, rv, ruf, rvf = shi_tomasi.clamp_region(
         region_us, region_vs, region_us + RW, region_vs + RH, W, H, B
     )
-    ubest, vbest, evbest = shi_tomasi.find_best_patch_in_image_window(
-        frame_u8, B, ru, rv, ruf, rvf, region_w=RW, region_h=RH
-    )
+    if x.dtype == jnp.float32 and params.use_pallas and not params.batch_mode:
+        from scenelib2_tpu.kernels.pallas_shi_tomasi import pallas_shi_tomasi_region
+
+        ubest, vbest, evbest = pallas_shi_tomasi_region(
+            frame_u8, ru, rv, ruf, rvf, boxsize=B, image_shape=(H, W),
+            region_w=RW, region_h=RH,
+        )
+    else:
+        ubest, vbest, evbest = shi_tomasi.find_best_patch_in_image_window(
+            frame_u8, B, ru, rv, ruf, rvf, region_w=RW, region_h=RH
+        )
 
     do_init = any_ok & (evbest > params.init_patch_score_thresh)
     patch = lax.dynamic_slice(frame_u8, (vbest - half, ubest - half), (B, B))
