@@ -27,41 +27,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from scenelib2_tpu.kernels.pallas_linalg import chol_linv_body
+
 _HI = jax.lax.Precision.HIGHEST
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-def _chol_linv(S, M: int, pad_m: int):
-    """L^-1 for the leading MxM block of S [pad_m, 128] (zero outside);
-    identical recurrences to pallas_linalg._chol_inv_kernel."""
-    shape = (pad_m, 128)
-    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    in_block = (row < M) & (lane < M)
-    A = jnp.where(in_block, S, jnp.where(row == lane, 1.0, 0.0))
-
-    # fully unrolled over the static M (a fori_loop costs ~500 cycles per
-    # iteration of Mosaic loop overhead — 40 iterations would eat the win)
-    U = jnp.zeros(shape, jnp.float32)
-    for j in range(M):
-        drow = jnp.sum(jnp.where(row == j, A, 0.0), axis=0, keepdims=True)
-        dcol = jnp.sum(jnp.where(lane == j, A, 0.0), axis=1, keepdims=True)
-        d = jnp.sum(jnp.where((row == j) & (lane == j), A, 0.0))
-        inv_sqrt = 1.0 / jnp.sqrt(d)
-        U = jnp.where((row == j) & (lane >= j), drow * inv_sqrt, U)
-        A = A - jnp.where((row > j) & (lane > j), dcol * (drow / d), 0.0)
-
-    X = jnp.zeros(shape, jnp.float32)
-    for i in range(M):
-        lcol = jnp.sum(jnp.where(lane == i, U, 0.0), axis=1, keepdims=True)
-        lii = jnp.sum(jnp.where((row == i) & (lane == i), U, 0.0))
-        contrib = jnp.sum(jnp.where(row < i, lcol * X, 0.0), axis=0, keepdims=True)
-        ei = jnp.where(lane == i, 1.0, 0.0)
-        X = jnp.where(row == i, (ei - contrib) / lii, X)
-    return jnp.where(in_block, X, 0.0)
 
 
 def _update_kernel(smem_ref, x_ref, P_ref, H_ref, nu_ref, R_ref, keep_ref,
@@ -78,7 +50,7 @@ def _update_kernel(smem_ref, x_ref, P_ref, H_ref, nu_ref, R_ref, keep_ref,
     S128 = jnp.concatenate(
         [S, jnp.zeros((pad_m, 128 - pad_m), jnp.float32)], axis=1
     )
-    Linv = _chol_linv(S128, M, pad_m)[:, :pad_m]            # [pad_m, pad_m]
+    Linv = chol_linv_body(S128, M, pad_m)[:, :pad_m]            # [pad_m, pad_m]
     Sinv = jax.lax.dot_general(Linv, Linv, (((0,), (0,)), ((), ())), precision=_HI)
 
     W = jax.lax.dot_general(PHt, Sinv, (((1,), (0,)), ((), ())), precision=_HI)

@@ -26,44 +26,46 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _chol_inv_kernel(s_ref, out_ref, *, M, pad_m):
-    """out = L^-1 for S = L L' (lower Cholesky), padded lanes/rows zero."""
+def chol_linv_body(S, M: int, pad_m: int):
+    """L^-1 for the leading MxM block of S [pad_m, 128] (zero outside).
+
+    Cholesky stored transposed (U = L'): right-looking rank-1 updates keep A
+    symmetric, so pivot rows/columns are plain masked reductions; then
+    forward substitution L X = I. Fully UNROLLED over the static M — an
+    in-kernel fori_loop costs ~500 cycles/iteration of Mosaic loop overhead
+    (measured; 2*M iterations would eat the fusion win). Shared by the
+    standalone kernel below and the fused EKF update (pallas_ekf)."""
     shape = (pad_m, 128)
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     in_block = (row < M) & (lane < M)
 
     # pad outside the MxM block with the identity so sqrt/div stay finite
-    A = jnp.where(in_block, s_ref[...], jnp.where(row == lane, 1.0, 0.0))
+    A = jnp.where(in_block, S, jnp.where(row == lane, 1.0, 0.0))
 
-    # Cholesky, stored transposed (U = L'): row j of U is column j of L.
-    # Right-looking rank-1 updates keep A symmetric, so both the pivot row
-    # and pivot column are plain masked reductions.
-    def chol_step(j, carry):
-        A, U = carry
+    U = jnp.zeros(shape, jnp.float32)
+    for j in range(M):
         drow = jnp.sum(jnp.where(row == j, A, 0.0), axis=0, keepdims=True)  # [1,128]
         dcol = jnp.sum(jnp.where(lane == j, A, 0.0), axis=1, keepdims=True)  # [pad,1]
         d = jnp.sum(jnp.where((row == j) & (lane == j), A, 0.0))
         inv_sqrt = 1.0 / jnp.sqrt(d)
         U = jnp.where((row == j) & (lane >= j), drow * inv_sqrt, U)
         A = A - jnp.where((row > j) & (lane > j), dcol * (drow / d), 0.0)
-        return A, U
 
-    _, U = jax.lax.fori_loop(0, M, chol_step, (A, jnp.zeros(shape, jnp.float32)))
-
-    # Forward substitution L X = I, one row of X per step.
-    # L[i,k] = U[k,i]: the needed column of U is again a lane-masked reduce.
-    def sub_step(i, X):
+    X = jnp.zeros(shape, jnp.float32)
+    for i in range(M):
         lcol = jnp.sum(jnp.where(lane == i, U, 0.0), axis=1, keepdims=True)  # [pad,1]
         lii = jnp.sum(jnp.where((row == i) & (lane == i), U, 0.0))
         contrib = jnp.sum(
             jnp.where(row < i, lcol * X, 0.0), axis=0, keepdims=True
         )                                                                   # [1,128]
         ei = jnp.where(lane == i, 1.0, 0.0)
-        return jnp.where(row == i, (ei - contrib) / lii, X)
+        X = jnp.where(row == i, (ei - contrib) / lii, X)
+    return jnp.where(in_block, X, 0.0)
 
-    X = jax.lax.fori_loop(0, M, sub_step, jnp.zeros(shape, jnp.float32))
-    out_ref[...] = jnp.where(in_block, X, 0.0)
+
+def _chol_inv_kernel(s_ref, out_ref, *, M, pad_m):
+    out_ref[...] = chol_linv_body(s_ref[...], M, pad_m)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -39,6 +39,33 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+
+def nssd_corr_f32(sg0, sg0sq, sg1, sg1sq, cross, n):
+    """f32 NSSD score, op-for-op as correlate.nssd_score (improc.cpp:55-134)
+    incl. the 0/1 zero-variance specials. Shared by the score-map kernels and
+    the fused selected-feature search; bit-identical to the XLA f32 form on
+    TPU (verified on hardware)."""
+    g0bar = sg0 / n
+    g1bar = sg1 / n
+    varg0 = sg0sq / n - g0bar * g0bar
+    varg1 = sg1sq / n - g1bar * g1bar
+    sd0 = jnp.sqrt(varg0)
+    sd1 = jnp.sqrt(varg1)
+    v1s = jnp.where(varg1 == 0.0, 1.0, varg1)
+    s1 = jnp.sqrt(v1s)
+    v0s = jnp.where(varg0 == 0.0, 1.0, varg0)
+    s0 = jnp.sqrt(v0s)
+    k = g0bar / s0 - g1bar / s1
+    corr = (
+        sg0sq / v0s + sg1sq / v1s + n * (k * k)
+        - cross * 2.0 / (s0 * s1) - sg0 * 2.0 * k / s0 + sg1 * 2.0 * k / s1
+    ) / n
+    both_zero = (sd0 == 0.0) & (sd1 == 0.0)
+    corr = jnp.where((sd0 != 0.0) & (sd1 != 0.0), corr,
+                     jnp.where(both_zero, 0.0, 1.0))
+    return corr, sd0, sd1
+
+
 def _score_map_kernel(st_ref, smem_ref, img_ref, out_ref, *, B, H, W, pad_w,
                       corr_sigma_thresh, low_sigma_penalty, in_rows, n_bands):
     """st_ref (scalar prefetch [n_bands] i32): per-band 8-aligned input start
@@ -97,24 +124,7 @@ def _score_map_kernel(st_ref, smem_ref, img_ref, out_ref, *, B, H, W, pad_w,
     sg0 = smem_ref[0, 0, B * B]
     sg0sq = smem_ref[0, 0, B * B + 1]
 
-    # f32 NSSD score, op-for-op as correlate.nssd_score (improc.cpp:55-134)
-    g0bar = sg0 / n
-    g1bar = sg1 / n
-    varg0 = sg0sq / n - g0bar * g0bar
-    varg1 = sg1sq / n - g1bar * g1bar
-    sd0 = jnp.sqrt(varg0)
-    sd1 = jnp.sqrt(varg1)
-    v1s = jnp.where(varg1 == 0.0, 1.0, varg1)
-    s1 = jnp.sqrt(v1s)
-    v0s = jnp.where(varg0 == 0.0, 1.0, varg0)
-    s0 = jnp.sqrt(v0s)
-    k = g0bar / s0 - g1bar / s1
-    corr = (
-        sg0sq / v0s + sg1sq / v1s + n * (k * k)
-        - cross * 2.0 / (s0 * s1) - sg0 * 2.0 * k / s0 + sg1 * 2.0 * k / s1
-    ) / n
-    both_zero = (sd0 == 0.0) & (sd1 == 0.0)
-    corr = jnp.where((sd0 != 0.0) & (sd1 != 0.0), corr, jnp.where(both_zero, 0.0, 1.0))
+    corr, sd0, sd1 = nssd_corr_f32(sg0, sg0sq, sg1, sg1sq, cross, n)
 
     # low image-sigma penalty (search_multiple_overlapping_ellipses.h:56) and
     # 1e6 at invalid centres, exactly as correlate.penalized_score_map
@@ -171,23 +181,7 @@ def _score_map_kernel_whole(smem_ref, img_ref, out_ref, *, B, H, W, pad_h,
     sg0 = smem_ref[0, 0, B * B]
     sg0sq = smem_ref[0, 0, B * B + 1]
 
-    g0bar = sg0 / n
-    g1bar = sg1 / n
-    varg0 = sg0sq / n - g0bar * g0bar
-    varg1 = sg1sq / n - g1bar * g1bar
-    sd0 = jnp.sqrt(varg0)
-    sd1 = jnp.sqrt(varg1)
-    v1s = jnp.where(varg1 == 0.0, 1.0, varg1)
-    s1 = jnp.sqrt(v1s)
-    v0s = jnp.where(varg0 == 0.0, 1.0, varg0)
-    s0 = jnp.sqrt(v0s)
-    k = g0bar / s0 - g1bar / s1
-    corr = (
-        sg0sq / v0s + sg1sq / v1s + n * (k * k)
-        - cross * 2.0 / (s0 * s1) - sg0 * 2.0 * k / s0 + sg1 * 2.0 * k / s1
-    ) / n
-    both_zero = (sd0 == 0.0) & (sd1 == 0.0)
-    corr = jnp.where((sd0 != 0.0) & (sd1 != 0.0), corr, jnp.where(both_zero, 0.0, 1.0))
+    corr, sd0, sd1 = nssd_corr_f32(sg0, sg0sq, sg1, sg1sq, cross, n)
 
     corr = jnp.where(sd1 < corr_sigma_thresh, corr + low_sigma_penalty, corr)
     uu = jax.lax.broadcasted_iota(jnp.int32, (pad_h, pad_w), 1)

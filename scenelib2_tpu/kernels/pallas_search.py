@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from scenelib2_tpu.kernels.pallas_score_map import nssd_corr_f32
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -71,23 +73,7 @@ def _search_body(smem_ref, win, out_ref, *, side_v, side_u,
     sg0 = smem_ref[0, 1, 8]
     sg0sq = smem_ref[0, 1, 9]
 
-    g0bar = sg0 / n
-    g1bar = sg1 / n
-    varg0 = sg0sq / n - g0bar * g0bar
-    varg1 = sg1sq / n - g1bar * g1bar
-    sd0 = jnp.sqrt(varg0)
-    sd1 = jnp.sqrt(varg1)
-    v1s = jnp.where(varg1 == 0.0, 1.0, varg1)
-    s1 = jnp.sqrt(v1s)
-    v0s = jnp.where(varg0 == 0.0, 1.0, varg0)
-    s0 = jnp.sqrt(v0s)
-    k = g0bar / s0 - g1bar / s1
-    corr = (
-        sg0sq / v0s + sg1sq / v1s + n * (k * k)
-        - cross * 2.0 / (s0 * s1) - sg0 * 2.0 * k / s0 + sg1 * 2.0 * k / s1
-    ) / n
-    both_zero = (sd0 == 0.0) & (sd1 == 0.0)
-    corr = jnp.where((sd0 != 0.0) & (sd1 != 0.0), corr, jnp.where(both_zero, 0.0, 1.0))
+    corr, sd0, sd1 = nssd_corr_f32(sg0, sg0sq, sg1, sg1sq, cross, n)
 
     u0 = smem_ref[0, 1, 0].astype(jnp.int32)
     v0 = smem_ref[0, 1, 1].astype(jnp.int32)
