@@ -12,6 +12,8 @@ import sys
 import tempfile
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("SCENELIB2_X64", "0")
 
 import numpy as np
