@@ -41,7 +41,11 @@ from scenelib2_tpu.kernels import correlate, shi_tomasi
 from scenelib2_tpu.kernels.pallas_ekf import pallas_joint_update_norm
 from scenelib2_tpu.kernels.pallas_particle import pallas_particle_predict
 from scenelib2_tpu.kernels.pallas_score_map import pallas_score_maps
-from scenelib2_tpu.kernels.pallas_search import pallas_elliptical_search_fused
+from scenelib2_tpu.kernels.pallas_search import (
+    gather_windows_u8,
+    pallas_elliptical_search,
+    pallas_elliptical_search_fused,
+)
 from scenelib2_tpu.rng import drand48_many
 from scenelib2_tpu.runtime import state as st
 from scenelib2_tpu.runtime.state import CAM_DIM, SLOT_DIM, SlamState
@@ -240,9 +244,28 @@ def make_step(params: Params, dtype=jnp.float64):
         u0_sel, v0_sel, _, _ = correlate.search_window_origin(
             h_sel, params.search_win_radius, W, H, B, round_half=True
         )
-        if params.use_pallas:
+        if params.use_pallas and not params.batch_mode:
             s_found, s_u, s_v, s_best, s_over = pallas_elliptical_search_fused(
                 frame_u8, state.patches[top_idx], u0_sel, v0_sel,
+                h_sel, sinv_sel, sel_mask,
+                image_shape=(H, W), boxsize=B,
+                win_radius=params.search_win_radius,
+                no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
+                corr_sigma_thresh=params.corr_sigma_thresh,
+            )
+            search = correlate.SearchResult(
+                found=s_found, u=s_u, v=s_v, best=s_best, overflow=s_over
+            )
+        elif params.use_pallas:
+            # batch mode: the fused variant would materialize a padded f32
+            # frame PER vmapped lane; the pre-gathered-window kernel keeps
+            # per-lane inputs at [NSEL, sw, sw]. (Index-grid gathers were
+            # measured 4x slower under the outer vmap — keep dynamic slices.)
+            wins = gather_windows_u8(
+                frame_u8, u0_sel, v0_sel, params.search_win_radius, B
+            )
+            s_found, s_u, s_v, s_best, s_over = pallas_elliptical_search(
+                wins, state.patches[top_idx], u0_sel, v0_sel,
                 h_sel, sinv_sel, sel_mask,
                 image_shape=(H, W), boxsize=B,
                 win_radius=params.search_win_radius,
@@ -613,13 +636,15 @@ def _match_partial_features(state: SlamState, corr_maps,
     # with K0/Ksym/K2 lambda-INDEPENDENT 3x3 blocks: ~10 per-particle batched
     # matmuls collapse into 2. The f64 parity path keeps the reference's
     # exact operation order (part_feature_model.cpp:231-265).
-    fast = (jnp.zeros((), jnp.float64).dtype == jnp.float32) and not params.batch_mode
+    fast = jnp.zeros((), jnp.float64).dtype == jnp.float32
 
     if fast:
-        # lambda-independent per-slot geometry only; the whole per-particle
-        # chain runs as ONE lane-parallel Pallas kernel (pallas_particle.py —
-        # the vmapped form is ~300 [1,NP]-shaped micro-fusions of pure
-        # instruction overhead).
+        # lambda-independent per-slot geometry only; the per-particle chain
+        # runs as ONE lane-parallel Pallas kernel (pallas_particle.py — the
+        # vmapped form is ~300 [1,NP]-shaped micro-fusions of pure
+        # instruction overhead). Batch mode keeps the K-form but evaluates
+        # the per-particle tail as vmapped XLA (a single-invocation Pallas
+        # kernel serializes across a vmapped batch axis).
         def slot_geom(y6, pxy_i, pyy_i):
             zeroed, dz_by_dxp, dz_by_dyi = models.part_zeroedyi(y6, xp)
             pxy7 = pxy_i[:7]
@@ -636,11 +661,30 @@ def _match_partial_features(state: SlamState, corr_maps,
             return zeroed, K0, K12 + K12.T, K2
 
         zeroed_c, K0c, Ksymc, K2c = jax.vmap(slot_geom)(ys6, pxy6, pyy6)
-        hpi, sinv, dets, _, _ = pallas_particle_predict(
-            zeroed_c, K0c, Ksymc, K2c, lam_c,
-            fku=cam.fku, fkv=cam.fkv, u0c=cam.u0, v0c=cam.v0,
-            kd1=cam.kd1, sd0=cam.sd, no_sigma=params.no_sigma,
-        )
+        if params.batch_mode or not params.use_pallas:
+
+            def kform_slot(zeroed, K0, Ksym, K2, lam_row):
+                def kform_particle(lam_p):
+                    hLR = zeroed[0:3] + lam_p * zeroed[3:6]
+                    hpi = camera_project(cam, hLR)
+                    A = camera_project_jacobian(cam, hLR)
+                    Kl = K0 + lam_p * Ksym + (lam_p * lam_p) * K2
+                    S = A @ Kl @ A.T + measurement_noise(cam, hpi)
+                    sinv = ekf.inv2x2_via_chol(S)
+                    det = S[0, 0] * S[1, 1] - S[1, 0] * S[0, 1]
+                    return hpi, sinv, det
+
+                return jax.vmap(kform_particle)(lam_row)
+
+            hpi, sinv, dets = jax.vmap(kform_slot)(
+                zeroed_c, K0c, Ksymc, K2c, lam_c
+            )
+        else:
+            hpi, sinv, dets, _, _ = pallas_particle_predict(
+                zeroed_c, K0c, Ksymc, K2c, lam_c,
+                fku=cam.fku, fkv=cam.fkv, u0c=cam.u0, v0c=cam.v0,
+                kd1=cam.kd1, sd0=cam.sd, no_sigma=params.no_sigma,
+            )
     else:
 
         def per_slot(y6, pxy_i, pyy_i, lam_row):
@@ -672,6 +716,9 @@ def _match_partial_features(state: SlamState, corr_maps,
     # per particle; per-particle window GATHERS were measured slower on TPU).
     searchable = palive_c & making[:, None]
 
+    # batch: the dense broadcast form fuses mask+min into one reduction and
+    # never materializes per-particle bands; the rowband gather would write
+    # [B,P,side,W] (hundreds of MB at batch 64 — measured 7x slower)
     search_impl = (
         correlate.multi_ellipse_search_dense
         if params.batch_mode
