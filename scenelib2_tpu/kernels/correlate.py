@@ -461,6 +461,102 @@ def multi_ellipse_search_rowband(
     return found, kbest // H, kbest % H, over & alive
 
 
+def multi_ellipse_search_unionbox(
+    corr_map: jnp.ndarray,     # [H,W] penalized_score_map output
+    h_centres: jnp.ndarray,    # [P,2]
+    sinv: jnp.ndarray,         # [P,2,2]
+    alive: jnp.ndarray,        # [P]
+    win_radius: int = 32,
+    no_sigma: float = 3.0,
+    corr_thresh2: float = 0.40,
+    band_h: int = 128,
+    band_w: int = 192,
+):
+    """Particle search over ONE dynamically-sliced union box of all alive
+    windows, with a lax.cond fallback to the full-image dense broadcast when
+    the union exceeds the static (band_h, band_w) cap.
+
+    Depth particles lie along a projected ray, so after the first few Bayes
+    updates their windows cluster tightly: the fused mask+min then scans
+    [P, band_h, band_w] instead of [P, H, W] (5x less at 320x240) while
+    never materializing per-particle bands (the rowband gather's weakness).
+    Decisions are bit-equal to the dense form in either precision: the
+    union box contains every alive particle's full window by construction,
+    values are read from the same map, and min/max reductions are
+    comparison-based (order-independent).
+    Returns (found, u, v, overflow) each [P]."""
+    H, W = corr_map.shape
+    side_u = min(2 * win_radius + 1, W)
+    side_v = min(2 * win_radius + 1, H)
+    bh = min(band_h, H)
+    bw = min(band_w, W)
+
+    uc = jnp.trunc(h_centres[:, 0]).astype(jnp.int32)
+    vc = jnp.trunc(h_centres[:, 1]).astype(jnp.int32)
+    a = sinv[:, 0, 0]
+    b = sinv[:, 0, 1]
+    c = sinv[:, 1, 1]
+    halfwidth = jnp.floor(no_sigma / jnp.sqrt(a - b * b / c)).astype(jnp.int32)
+    halfheight = jnp.floor(no_sigma / jnp.sqrt(c - b * b / a)).astype(jnp.int32)
+    u0 = jnp.clip(uc - win_radius, 0, W - side_u)
+    v0 = jnp.clip(vc - win_radius, 0, H - side_v)
+    over = (halfwidth > win_radius) | (halfheight > win_radius)
+
+    big = jnp.int32(1 << 24)
+    v_lo = jnp.min(jnp.where(alive, v0, big))
+    v_hi = jnp.max(jnp.where(alive, v0 + side_v, -big))
+    u_lo = jnp.min(jnp.where(alive, u0, big))
+    u_hi = jnp.max(jnp.where(alive, u0 + side_u, -big))
+    fits = (v_hi - v_lo <= bh) & (u_hi - u_lo <= bw)
+    bv0 = jnp.clip(v_lo, 0, H - bh)
+    bu0 = jnp.clip(u_lo, 0, W - bw)
+
+    def _masks(uu, vv):
+        urel = (uu - uc[:, None, None]).astype(corr_map.dtype)
+        vrel = (vv - vc[:, None, None]).astype(corr_map.dtype)
+        # the window test cannot be folded into a radius-clamped box test:
+        # an overflowing particle whose window is border-clipped searches
+        # window cells beyond its R-box in the dense form
+        in_win = (
+            (uu >= u0[:, None, None]) & (uu < (u0 + side_u)[:, None, None])
+            & (vv >= v0[:, None, None]) & (vv < (v0 + side_v)[:, None, None])
+        )
+        box = (jnp.abs(urel) <= halfwidth[:, None, None]) & (
+            jnp.abs(vrel) <= halfheight[:, None, None]
+        )
+        ell = (
+            a[:, None, None] * urel * urel
+            + 2.0 * b[:, None, None] * urel * vrel
+            + c[:, None, None] * vrel * vrel
+        ) < no_sigma * no_sigma
+        return in_win & box & ell
+
+    def _reduce(vals_src, mask, uu, vv):
+        vals = jnp.where(mask, vals_src, jnp.asarray(1e6, corr_map.dtype))
+        best = vals.min(axis=(1, 2))
+        key = (uu * jnp.int32(H) + vv).astype(jnp.int32)
+        tie = (vals == best[:, None, None]) & mask
+        kbest = jnp.where(tie, key, -1).max(axis=(1, 2))
+        return best, kbest
+
+    def banded(_):
+        sub = lax.dynamic_slice(corr_map, (bv0, bu0), (bh, bw))
+        uu = (bu0 + jnp.arange(bw, dtype=jnp.int32))[None, None, :]
+        vv = (bv0 + jnp.arange(bh, dtype=jnp.int32))[None, :, None]
+        mask = _masks(uu, vv)
+        return _reduce(sub[None], mask, uu, vv)
+
+    def full(_):
+        uu = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+        vv = jnp.arange(H, dtype=jnp.int32)[None, :, None]
+        mask = _masks(uu, vv)
+        return _reduce(corr_map[None], mask, uu, vv)
+
+    best, kbest = lax.cond(fits, banded, full, None)
+    found = alive & (best <= corr_thresh2)
+    return found, kbest // H, kbest % H, over & alive
+
+
 def multi_ellipse_search(
     fsums: FrameSums,
     cross_map: jnp.ndarray,    # [H,W] i32 for this patch

@@ -711,28 +711,36 @@ def _match_partial_features(state: SlamState, corr_maps,
     # hpi [MAXP,NP,2], sinv [MAXP,NP,2,2], dets [MAXP,NP]
 
     # the shared penalized score map per patch (the reference's correlation
-    # cache) is computed by the caller; each particle reads only its window
-    # band (the dense [P,H,W] broadcast masked-min rescans the whole image
-    # per particle; per-particle window GATHERS were measured slower on TPU).
+    # cache) is computed by the caller; the reductions over it never
+    # materialize per-particle bands (per-particle window GATHERS and the
+    # materialized rowband were both measured slower on TPU).
     searchable = palive_c & making[:, None]
 
-    # batch: the dense broadcast form fuses mask+min into one reduction and
-    # never materializes per-particle bands; the rowband gather would write
-    # [B,P,side,W] (hundreds of MB at batch 64 — measured 7x slower)
-    search_impl = (
-        correlate.multi_ellipse_search_dense
-        if params.batch_mode
-        else correlate.multi_ellipse_search_rowband
-    )
+    if params.batch_mode:
+        # batch: keep the full dense broadcast form — vmapping a lax.cond
+        # would evaluate BOTH union-box branches on every lane
+        def search_slot(cm, h_f, sinv_f, alive_f):
+            return correlate.multi_ellipse_search_dense(
+                cm, h_f, sinv_f, alive_f,
+                win_radius=params.particle_win_radius,
+                no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
+            )
 
-    def search_slot(cm, h_f, sinv_f, alive_f):
-        return search_impl(
-            cm, h_f, sinv_f, alive_f,
-            win_radius=params.particle_win_radius,
-            no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
+        found, zu, zv, p_over = jax.vmap(search_slot)(corr_maps, hpi, sinv, searchable)
+    else:
+        # unrolled python loop over the (tiny, static) partial-slot count so
+        # the union-box lax.cond stays a real cond
+        res = [
+            correlate.multi_ellipse_search_unionbox(
+                corr_maps[j], hpi[j], sinv[j], searchable[j],
+                win_radius=params.particle_win_radius,
+                no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
+            )
+            for j in range(MAXP)
+        ]
+        found, zu, zv, p_over = (
+            jnp.stack([r[i] for r in res]) for i in range(4)
         )
-
-    found, zu, zv, p_over = jax.vmap(search_slot)(corr_maps, hpi, sinv, searchable)
     z = jnp.stack([zu, zv], axis=-1).astype(dtype)          # [MAXP,NP,2]
 
     # Bayes update of particle probabilities (monoslam.cpp:1446-1493).

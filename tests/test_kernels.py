@@ -272,3 +272,42 @@ def test_pallas_chol_inv_matches_unrolled(rng):
         )
         assert Linv32.dtype == np.float32
         np.testing.assert_allclose(Linv32, Linv64, rtol=2e-4, atol=2e-5)
+
+
+def test_unionbox_search_matches_dense(rng):
+    """multi_ellipse_search_unionbox (banded AND overflow-fallback branches)
+    vs the dense broadcast: identical decisions and pixels."""
+    import jax
+
+    Hh, W, P, R = 120, 160, 24, 16
+    maps = rng.uniform(0.0, 2.0, size=(Hh, W)).astype(np.float64)
+    for _ in range(25):
+        maps[rng.integers(0, Hh), rng.integers(0, W)] = rng.uniform(0, 0.3)
+    sinvs = np.zeros((P, 2, 2))
+    for p in range(P):
+        a = rng.uniform(0.05, 0.4)
+        c = rng.uniform(0.05, 0.4)
+        b = rng.uniform(-0.5, 0.5) * np.sqrt(a * c)
+        sinvs[p] = [[a, b], [b, c]]
+    alive = rng.uniform(size=P) > 0.2
+    m = jnp.asarray(maps)
+    s = jnp.asarray(sinvs)
+    al = jnp.asarray(alive)
+
+    # clustered centres (banded branch) and scattered centres (fallback)
+    for centres in (
+        np.stack([rng.uniform(60, 90, P), rng.uniform(40, 70, P)], axis=1),
+        np.stack([rng.uniform(-5, W + 5, P), rng.uniform(-5, Hh + 5, P)], axis=1),
+    ):
+        h = jnp.asarray(centres)
+        fd, ud, vd, od = correlate.multi_ellipse_search_dense(
+            m, h, s, al, win_radius=R
+        )
+        fu, uu_, vu, ou = correlate.multi_ellipse_search_unionbox(
+            m, h, s, al, win_radius=R, band_h=64, band_w=96
+        )
+        np.testing.assert_array_equal(np.asarray(fd), np.asarray(fu))
+        np.testing.assert_array_equal(np.asarray(od), np.asarray(ou))
+        fdn = np.asarray(fd)
+        np.testing.assert_array_equal(np.asarray(ud)[fdn], np.asarray(uu_)[fdn])
+        np.testing.assert_array_equal(np.asarray(vd)[fdn], np.asarray(vu)[fdn])
