@@ -469,12 +469,13 @@ def multi_ellipse_search_unionbox(
     win_radius: int = 32,
     no_sigma: float = 3.0,
     corr_thresh2: float = 0.40,
-    band_h: int = 128,
-    band_w: int = 192,
+    band_h: int | None = None,
+    band_w: int | None = None,
 ):
     """Particle search over ONE dynamically-sliced union box of all alive
     windows, with a lax.cond fallback to the full-image dense broadcast when
-    the union exceeds the static (band_h, band_w) cap.
+    the union exceeds the static (band_h, band_w) cap (defaults: window side
+    + 63 rows / + 127 cols, i.e. 128x192 at the stock radius 32).
 
     Depth particles lie along a projected ray, so after the first few Bayes
     updates their windows cluster tightly: the fused mask+min then scans
@@ -488,8 +489,8 @@ def multi_ellipse_search_unionbox(
     H, W = corr_map.shape
     side_u = min(2 * win_radius + 1, W)
     side_v = min(2 * win_radius + 1, H)
-    bh = min(band_h, H)
-    bw = min(band_w, W)
+    bh = min(side_v + 63 if band_h is None else band_h, H)
+    bw = min(side_u + 127 if band_w is None else band_w, W)
 
     uc = jnp.trunc(h_centres[:, 0]).astype(jnp.int32)
     vc = jnp.trunc(h_centres[:, 1]).astype(jnp.int32)
