@@ -169,3 +169,183 @@ def pallas_joint_update_norm(
         interpret=interpret,
     )(smem, xp, Pp, Hp, nup, Rp, keepp)
     return ox[0, :D].astype(x.dtype), oP[:D, :D].astype(P.dtype)
+
+
+def _update_kernel_compact(smem_ref, seli_ref, x_ref, P_ref, keep_ref,
+                           ox_ref, oP_ref, *, D, NSEL, HXO, HYO, RDO, HO, ZO,
+                           pad_d, pad_m):
+    """Compact-input variant: H, R and nu are BUILT IN-KERNEL from the
+    measurement kernel's selected-column matrix instead of being assembled
+    (one-hot einsum + scatters + pad copies) on the XLA side.
+
+    smem_ref (SMEM f32 [NOUT+3, NSEL]): rows HXO.. = hx[2,7] row-major,
+    HYO.. = hy[2,3], RDO = noise var, HO.. = predicted h (u,v); extra rows
+    NOUT+0/1 = matched z (u,v), NOUT+2 = succ flag.
+    seli_ref (SMEM i32 [NSEL]): slot state offsets. keep_ref (VMEM [1,128])
+    f32 keep mask; smem any-success flag lives in its lane... passed as
+    keep_ref[0, 127] is NOT used — any_succ is smem row NOUT+2 reduced by
+    the caller into succ flags (any_succ == any(succ))."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    zrow = jnp.zeros((1, 128), jnp.float32)
+
+    rows = []
+    nu_row = zrow
+    rd_row = zrow
+    any_succ_f = jnp.float32(0.0)
+    for k in range(NSEL):
+        succ = smem_ref[ZO + 2, k]                     # 1.0 / 0.0
+        any_succ_f = jnp.maximum(any_succ_f, succ)
+        off = seli_ref[k]
+        for i in range(2):
+            row = zrow
+            for a in range(7):
+                row = row + jnp.where(
+                    lane == a, succ * smem_ref[HXO + i * 7 + a, k], 0.0
+                )
+            for j in range(3):
+                row = row + jnp.where(
+                    lane == off + j, succ * smem_ref[HYO + i * 3 + j, k], 0.0
+                )
+            rows.append(row)
+            nu_k = succ * (smem_ref[ZO + i, k] - smem_ref[HO + i, k])
+            nu_row = nu_row + jnp.where(lane == 2 * k + i, nu_k, 0.0)
+            rv = jnp.where(succ > 0.0, smem_ref[RDO, k], jnp.float32(1.0))
+            rd_row = rd_row + jnp.where(lane == 2 * k + i, rv, 0.0)
+    rows += [zrow] * (pad_m - 2 * NSEL)
+    Hm = jnp.concatenate(rows, axis=0)                 # [pad_m, 128]
+
+    P = P_ref[..., :pad_d]
+    Hd = Hm[:, :pad_d]
+    PHt = jax.lax.dot_general(P, Hd, (((1,), (1,)), ((), ())), precision=_HI)
+    S = jax.lax.dot_general(Hd, PHt, (((1,), (0,)), ((), ())), precision=_HI)
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (pad_m, pad_m), 0)
+    lanem = jax.lax.broadcasted_iota(jnp.int32, (pad_m, pad_m), 1)
+    S = S + jnp.where(
+        rowm == lanem, jnp.broadcast_to(rd_row[:, :pad_m], (pad_m, pad_m)), 0.0
+    )
+
+    M = 2 * NSEL
+    S128 = jnp.concatenate([S, jnp.zeros((pad_m, 128 - pad_m), jnp.float32)], axis=1)
+    Linv = chol_linv_body(S128, M, pad_m)[:, :pad_m]
+    Sinv = jax.lax.dot_general(Linv, Linv, (((0,), (0,)), ((), ())), precision=_HI)
+
+    W = jax.lax.dot_general(PHt, Sinv, (((1,), (0,)), ((), ())), precision=_HI)
+    nu = nu_row[:, :pad_m]
+    Wnu = jax.lax.dot_general(nu, W, (((1,), (1,)), ((), ())), precision=_HI)
+    x = x_ref[..., :pad_d]
+    x_upd = x + Wnu
+
+    WS = jax.lax.dot_general(W, S, (((1,), (0,)), ((), ())), precision=_HI)
+    WSWt = jax.lax.dot_general(WS, W, (((1,), (1,)), ((), ())), precision=_HI)
+    P_upd = P - WSWt
+
+    qrow = x_upd[:, 3:7]
+    qq = jnp.sum(qrow * qrow, axis=1, keepdims=True)
+    Q1 = jnp.broadcast_to(qrow, (4, 4))
+    eye4 = jnp.eye(4, dtype=jnp.float32)
+    Q2 = jax.lax.dot_general(Q1, eye4, (((0,), (0,)), ((), ())), precision=_HI)
+    outer = Q1 * Q2
+    diag_v = (1.0 - qrow * qrow / (qq * qq)) / qq
+    Dg = jnp.broadcast_to(diag_v, (4, 4))
+    r4 = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 0)
+    l4 = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 1)
+    J = jnp.where(r4 == l4, Dg, -outer / (qq * qq * qq))
+
+    rowd = jax.lax.broadcasted_iota(jnp.int32, (pad_d, pad_d), 0)
+    laned = jax.lax.broadcasted_iota(jnp.int32, (pad_d, pad_d), 1)
+    Jpad = jnp.pad(J, ((3, pad_d - 7), (3, pad_d - 7)))
+    in_q = (rowd >= 3) & (rowd < 7) & (laned >= 3) & (laned < 7)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    ident = jnp.where((rowd == laned) & (rowd < D), one, zero)
+    T = jnp.where(in_q, Jpad, ident)
+
+    PT = jax.lax.dot_general(P_upd, T, (((1,), (1,)), ((), ())), precision=_HI)
+    P_norm = jax.lax.dot_general(T, PT, (((1,), (0,)), ((), ())), precision=_HI)
+
+    anyv = jnp.zeros((1, 1), jnp.float32) + any_succ_f
+    any_m = jnp.broadcast_to(anyv > 0.0, (pad_d, pad_d))
+    P_sel = jnp.where(any_m, P_norm, P)
+    x_sel = jnp.where(jnp.broadcast_to(anyv > 0.0, (1, pad_d)), x_upd, x)
+
+    keep = keep_ref[..., :pad_d]
+    keep2 = jax.lax.dot_general(keep, keep, (((0,), (0,)), ((), ())), precision=_HI)
+    P_del = P_sel * keep2
+    x_del = x_sel * keep
+
+    Pt = jax.lax.dot_general(
+        P_del, jnp.where(rowd == laned, one, zero),
+        (((0,), (0,)), ((), ())), precision=_HI,
+    )
+    P_out = P_del * 0.5 + Pt * 0.5
+
+    zx = jnp.zeros((1, 128 - pad_d), jnp.float32)
+    ox_ref[...] = jnp.concatenate([x_del, zx], axis=1)
+    zP = jnp.zeros((pad_d, 128 - pad_d), jnp.float32)
+    oP_ref[...] = jnp.concatenate([P_out, zP], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "meas_rows"))
+def pallas_joint_update_norm_compact(
+    x: jnp.ndarray,          # [D]
+    P: jnp.ndarray,          # [D,D]
+    sel: jnp.ndarray,        # [NOUT, NSEL] measurement-kernel column block
+    z: jnp.ndarray,          # [NSEL, 2] matched pixels
+    succ: jnp.ndarray,       # [NSEL] bool
+    offs: jnp.ndarray,       # [NSEL] i32 slot state offsets
+    keep_dims: jnp.ndarray,  # [D] bool
+    meas_rows: tuple,        # (HXO, HYO, RDO, HO) row indices into sel
+    interpret: bool | None = None,
+):
+    """Fused update with in-kernel H/R/nu assembly from the measurement
+    kernel's selected columns. Returns (x_out [D], P_out [D,D])."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu" and "axon" not in str(
+            jax.devices()[0].platform
+        ).lower()
+    D = x.shape[0]
+    NSEL = sel.shape[1]
+    NOUT = sel.shape[0]
+    assert D <= 128 and 2 * NSEL <= 128
+    pad_d = _round_up(D, 8)
+    pad_m = _round_up(2 * NSEL, 8)
+    HXO, HYO, RDO, HO = meas_rows
+
+    f32 = jnp.float32
+    smem = jnp.concatenate(
+        [
+            sel.astype(f32),
+            z.T.astype(f32),                       # rows NOUT, NOUT+1
+            succ.astype(f32)[None, :],             # row NOUT+2
+        ],
+        axis=0,
+    )
+    xp = jnp.zeros((1, 128), f32).at[0, :D].set(x.astype(f32))
+    Pp = jnp.zeros((pad_d, 128), f32).at[:D, :D].set(P.astype(f32))
+    keepp = jnp.zeros((1, 128), f32).at[0, :D].set(keep_dims.astype(f32))
+
+    kernel = functools.partial(
+        _update_kernel_compact,
+        D=D, NSEL=NSEL, HXO=HXO, HYO=HYO, RDO=RDO, HO=HO, ZO=NOUT,
+        pad_d=pad_d, pad_m=pad_m,
+    )
+    ox, oP = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 128), f32),
+            jax.ShapeDtypeStruct((pad_d, 128), f32),
+        ],
+        interpret=interpret,
+    )(smem, offs.astype(jnp.int32), xp, Pp, keepp)
+    return ox[0, :D].astype(x.dtype), oP[:D, :D].astype(P.dtype)
