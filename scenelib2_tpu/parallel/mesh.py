@@ -79,6 +79,9 @@ def replicate_states(state: st.SlamState, batch: int) -> st.SlamState:
 # --------------------------------------------------------- 2-D sharded EKF
 
 
+CAM = 13
+
+
 def sharded_joint_update(mesh: Mesh, D: int, M: int):
     """Build a jitted EKF joint update with P 2-D sharded over ('row','col').
 
@@ -111,27 +114,108 @@ def sharded_joint_update(mesh: Mesh, D: int, M: int):
     )
 
 
-def sharded_predict(mesh: Mesh, D: int):
-    """Sharded EKF predict: only the 13 camera rows/cols transform; the
-    (D-13)-wide remainder is touched only through one [13,D] matmul that XLA
-    partitions over the column axis."""
+def sharded_predict(mesh: Mesh, D: int, delta_t: float = 1 / 30.0,
+                    sd_a: float = 4.0, sd_alpha: float = 6.0):
+    """Sharded EKF predict with the REAL constant-velocity motion model
+    (kalman.cpp:50-69 semantics: xv<-fv, Pxx<-F Pxx F'+Q, Pxy_i<-F Pxy_i).
+
+    F and Q are computed on-device from xv via motion.func_fv_and_dfv_by_dxv /
+    func_Q (motion_model.cpp:84-217); only the 13 camera rows/cols transform,
+    through one [13,D] matmul XLA partitions over the column axis."""
+    from scenelib2_tpu.core import motion
+
     row_col = NamedSharding(mesh, P("row", "col"))
     row_vec = NamedSharding(mesh, P("row"))
     repl = NamedSharding(mesh, P())
 
-    CAM = 13
-
-    def predict(x, Pm, F, Q):
+    def predict(x, Pm, u):
+        fv, F = motion.func_fv_and_dfv_by_dxv(x[:CAM], u, delta_t)
+        Q = motion.func_Q(x[:CAM], delta_t, sd_a, sd_alpha)
         top = F @ Pm[:CAM, :]
         pxx = top[:, :CAM] @ F.T + Q
         Pm = Pm.at[:CAM, :].set(top)
         Pm = Pm.at[:, :CAM].set(top.T)
         Pm = Pm.at[:CAM, :CAM].set(pxx)
-        x = x.at[:CAM].set(F @ x[:CAM])  # placeholder linear motion for bench
+        x = x.at[:CAM].set(fv)
         return x, jax.lax.with_sharding_constraint(Pm, row_col)
 
     return jax.jit(
         predict,
-        in_shardings=(row_vec, row_col, repl, repl),
+        in_shardings=(row_vec, row_col, repl),
         out_shardings=(row_vec, row_col),
     )
+
+
+def sharded_slam_frame(mesh: Mesh, D: int, M: int, delta_t: float = 1 / 30.0,
+                       sd_a: float = 4.0, sd_alpha: float = 6.0):
+    """One full EKF frame on a 2-D sharded covariance: predict (real motion
+    model) + joint update + quaternion-normalise + symmetrize — the sharded
+    variant of the stress500 step (monoslam.cpp:108-150 filter stages).
+
+    Numerically identical to composing core.ekf.predict / joint_update /
+    normalise / symmetrize on an unsharded P (asserted by
+    tests/test_parallel.py::test_sharded_frame_matches_dense); the Cholesky of
+    the small replicated S uses the same reference-op-order unrolled factor as
+    the dense path. XLA's SPMD partitioner inserts all collectives.
+
+    For the real stress500 config (D = 13+6*500 = 3013), pad D up to the next
+    mesh-divisible size with identity diagonal rows in P and zero columns in
+    H — padding provably leaves the live block bit-identical (zero cross-
+    covariance rows stay zero through every product).
+    """
+    from scenelib2_tpu.core import ekf, motion
+
+    row_col = NamedSharding(mesh, P("row", "col"))
+    row_vec = NamedSharding(mesh, P("row"))
+    repl = NamedSharding(mesh, P())
+
+    def frame(x, Pm, u, H, nu, R):
+        # --- predict (kalman.cpp:50-69) ---
+        fv, F = motion.func_fv_and_dfv_by_dxv(x[:CAM], u, delta_t)
+        Q = motion.func_Q(x[:CAM], delta_t, sd_a, sd_alpha)
+        top = F @ Pm[:CAM, :]
+        pxx = top[:, :CAM] @ F.T + Q
+        Pm = Pm.at[:CAM, :].set(top)
+        Pm = Pm.at[:, :CAM].set(top.T)
+        Pm = Pm.at[:CAM, :CAM].set(pxx)
+        x = x.at[:CAM].set(fv)
+        Pm = jax.lax.with_sharding_constraint(Pm, row_col)
+
+        # --- joint update (kalman.cpp:72-119), S inverted via its Cholesky
+        # factor in the reference's op order on the replicated small block ---
+        S = H @ Pm @ H.T + R
+        Linv = ekf.tril_inv_unrolled(ekf.chol_unrolled(S))
+        Sinv = Linv.T @ Linv
+        PHt = jax.lax.with_sharding_constraint(
+            Pm @ H.T, NamedSharding(mesh, P("row", None))
+        )
+        W = PHt @ Sinv
+        x = x + W @ nu
+        Pm = Pm - W @ S @ W.T
+
+        # --- normalise (monoslam.cpp:616-637, covariance-only quirk) ---
+        xvn, J = motion.func_xvnorm_and_dxvnorm_by_dxv(x[:CAM])
+        topn = J @ Pm[:CAM, :]
+        pxxn = topn[:, :CAM] @ J.T
+        Pm = Pm.at[:CAM, :].set(topn)
+        Pm = Pm.at[:, :CAM].set(topn.T)
+        Pm = Pm.at[:CAM, :CAM].set(pxxn)
+        x = x.at[:CAM].set(xvn)
+
+        # --- symmetrize (monoslam.cpp:145-150) ---
+        Pm = Pm * 0.5 + Pm.T * 0.5
+        return x, jax.lax.with_sharding_constraint(Pm, row_col)
+
+    return jax.jit(
+        frame,
+        in_shardings=(row_vec, row_col, repl, repl, repl, repl),
+        out_shardings=(row_vec, row_col),
+    )
+
+
+def pad_for_mesh(D: int, rows: int, cols: int) -> int:
+    """Smallest Dp >= D divisible by both mesh axis sizes."""
+    import math
+
+    lcm = rows * cols // math.gcd(rows, cols)
+    return ((D + lcm - 1) // lcm) * lcm

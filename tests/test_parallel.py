@@ -36,6 +36,87 @@ def test_sharded_joint_update_matches_dense(devices_ok, rng):
     np.testing.assert_allclose(P2, np.asarray(P_ref), rtol=1e-8, atol=1e-10)
 
 
+def _dense_frame(x, P, u, H, nu, R):
+    """Reference composition on the unsharded state: the stress500 step."""
+    from scenelib2_tpu.core import ekf
+
+    x, P = ekf.predict(x, P, u, 1 / 30.0, 4.0, 6.0)
+    x, P, _ = ekf.joint_update(x, P, H, nu, R)
+    x, P = ekf.normalise(x, P)
+    return x, ekf.symmetrize(P)
+
+
+def _frame_operands(rng, D, M):
+    import numpy as np
+
+    A = rng.normal(size=(D, D)) * 0.05
+    P = jnp.asarray(A @ A.T + np.eye(D))
+    xv = np.zeros(13)
+    xv[3] = 1.0
+    xv[7:13] = rng.normal(size=6) * 0.1
+    x = jnp.zeros(D).at[:13].set(jnp.asarray(xv))
+    H = jnp.zeros((M, D)).at[:, 13 : 13 + M].set(jnp.eye(M))
+    H = H.at[:, :13].set(jnp.asarray(rng.normal(size=(M, 13)) * 0.1))
+    nu = jnp.asarray(rng.normal(size=M)) * 0.01
+    R = jnp.eye(M) * 1.2
+    return x, P, H, nu, R
+
+
+def test_sharded_frame_matches_dense(devices_ok, rng):
+    """The full sharded EKF frame (real motion model) == the dense path."""
+    m = pmesh.make_mesh((4, 2), ("row", "col"))
+    D, M = pmesh.pad_for_mesh(13 + 6 * 20, 4, 2), 16
+    x, P, H, nu, R = _frame_operands(rng, D, M)
+    u = jnp.zeros(3)
+
+    frame = pmesh.sharded_slam_frame(m, D, M)
+    with m:
+        xs, Ps = frame(x, P, u, H, nu, R)
+        xs, Ps = np.asarray(xs), np.asarray(Ps)
+
+    xd, Pd = _dense_frame(x, P, u, H, nu, R)
+    np.testing.assert_allclose(xs, np.asarray(xd), rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(Ps, np.asarray(Pd), rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_sharded_frame_matches_dense_stress500(devices_ok, rng):
+    """Same assertion at the real stress500 shape: D = 13+6*500 mesh-padded."""
+    m = pmesh.make_mesh((4, 2), ("row", "col"))
+    D, M = pmesh.pad_for_mesh(13 + 6 * 500, 4, 2), 20
+    assert D >= 3013
+    x, P, H, nu, R = _frame_operands(rng, D, M)
+    u = jnp.zeros(3)
+
+    frame = pmesh.sharded_slam_frame(m, D, M)
+    with m:
+        xs, Ps = frame(x, P, u, H, nu, R)
+        xs, Ps = np.asarray(xs), np.asarray(Ps)
+
+    xd, Pd = _dense_frame(x, P, u, H, nu, R)
+    np.testing.assert_allclose(xs, np.asarray(xd), rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(Ps, np.asarray(Pd), rtol=1e-8, atol=1e-11)
+
+
+def test_sharded_predict_matches_dense(devices_ok, rng):
+    """Real-motion sharded predict == core.ekf.predict."""
+    from scenelib2_tpu.core import ekf
+
+    m = pmesh.make_mesh((4, 2), ("row", "col"))
+    D = pmesh.pad_for_mesh(13 + 6 * 10, 4, 2)
+    x, P, _, _, _ = _frame_operands(rng, D, 4)
+    u = jnp.asarray(rng.normal(size=3) * 0.01)
+
+    pred = pmesh.sharded_predict(m, D)
+    with m:
+        xs, Ps = pred(x, P, u)
+        xs, Ps = np.asarray(xs), np.asarray(Ps)
+
+    xd, Pd = ekf.predict(x, P, u, 1 / 30.0, 4.0, 6.0)
+    np.testing.assert_allclose(xs, np.asarray(xd), rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(Ps, np.asarray(Pd), rtol=1e-12, atol=1e-15)
+
+
 def test_batched_step_shards_and_runs(devices_ok):
     import importlib.util
 
