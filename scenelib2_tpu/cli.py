@@ -129,6 +129,50 @@ def cmd_visualize(args):
     print(out)
 
 
+def cmd_ar(args):
+    """AR replay (reference GraphicTool::DrawAR / Draw3dScene analog):
+    re-run a sequence and dump per-frame overlays — search ellipses, match
+    boxes, partial-feature particle-ellipse clouds, auto-init region boxes —
+    plus a final 3-D map with true 3-sigma covariance ellipsoids."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import jax
+
+    from scenelib2_tpu import MonoSLAM
+    from scenelib2_tpu.eval import viz
+    from scenelib2_tpu.io.sequence import ImageSequence
+
+    slam = MonoSLAM(args.config, max_features=args.max_features)
+    seq = ImageSequence(args.seq)
+    frames = []
+    for i, f in enumerate(seq):
+        if args.frames and i >= args.frames:
+            break
+        frames.append(f)
+    frames = np.stack(frames)
+    outs = slam.run_sequence(frames[1:], enable_mapping=args.mapping)
+    os.makedirs(args.out, exist_ok=True)
+    region = (slam.params.init_search_width, slam.params.init_search_height)
+    paths = []
+    for t in range(0, len(frames) - 1, args.every):
+        o_t = jax.tree_util.tree_map(lambda a: np.asarray(a)[t], outs)
+        fig, ax = plt.subplots(figsize=(6, 4.5))
+        viz.render_ar_frame(ax, frames[t + 1], o_t, slam.params.boxsize, region)
+        p = os.path.join(args.out, f"ar_{t:04d}.png")
+        fig.savefig(p, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        paths.append(p)
+    fig = plt.figure(figsize=(6, 6))
+    ax = fig.add_subplot(111, projection="3d")
+    viz.render_map_3d(ax, slam.state, np.asarray(outs.r))
+    map_path = os.path.join(args.out, "map3d.png")
+    fig.savefig(map_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    print(json.dumps(dict(ar_frames=len(paths), map=map_path, out=args.out)))
+
+
 def cmd_print_state(args):
     from scenelib2_tpu import MonoSLAM
 
@@ -166,6 +210,16 @@ def main(argv=None):
     pv.add_argument("--run", required=True)
     pv.add_argument("--out", default="")
     pv.set_defaults(func=cmd_visualize)
+
+    pa = sub.add_parser("ar", help="AR overlay + 3-D map replay (DrawAR analog)")
+    pa.add_argument("--config", required=True)
+    pa.add_argument("--seq", required=True)
+    pa.add_argument("--frames", type=int, default=0)
+    pa.add_argument("--out", default="ar_out")
+    pa.add_argument("--max-features", type=int, default=16)
+    pa.add_argument("--mapping", action="store_true")
+    pa.add_argument("--every", type=int, default=1)
+    pa.set_defaults(func=cmd_ar)
 
     ps = sub.add_parser("print-state", help="print xv/Pxx from a checkpoint")
     ps.add_argument("--config", required=True)

@@ -25,7 +25,8 @@ def _ellipse_points(S, n_sigma=3.0, n=48):
     return (V @ (np.sqrt(w)[:, None] * circ)) * n_sigma
 
 
-def render_ar_frame(ax, frame: np.ndarray, out, boxsize: int = 11):
+def render_ar_frame(ax, frame: np.ndarray, out, boxsize: int = 11,
+                    init_region_size: tuple[int, int] | None = (80, 60)):
     """Draw one frame's AR overlay onto a matplotlib Axes.
 
     `out` is a single-frame StepOutputs slice (numpy-compatible fields).
@@ -58,10 +59,64 @@ def render_ar_frame(ax, frame: np.ndarray, out, boxsize: int = 11):
                     fill=False, ec="yellow", lw=0.8,
                 )
             )
+
+    # partial features: per-particle search ellipses (reference draws every
+    # Nth of up to 10 per ray — graphictool.cpp:704-762); magenta like the
+    # reference's partially-initialised colour
+    if hasattr(out, "par_mask"):
+        par_mask = np.atleast_1d(np.asarray(out.par_mask))
+        for j in range(len(par_mask)):
+            if not par_mask[j]:
+                continue
+            alive = np.asarray(out.par_alive)[j]
+            hs = np.asarray(out.par_h)[j]
+            sinvs = np.asarray(out.par_sinv)[j]
+            idx = np.nonzero(alive)[0]
+            stride = max(1, len(idx) // 10)  # <=10 ellipses like the reference
+            for k in idx[::stride]:
+                try:
+                    S = np.linalg.inv(sinvs[k])
+                except np.linalg.LinAlgError:
+                    continue
+                pts = _ellipse_points(S) + hs[k][:, None]
+                ax.plot(pts[0], pts[1], "m-", lw=0.5, alpha=0.6)
+
+    # auto-init region box (graphictool.cpp:774-797)
+    if hasattr(out, "did_init") and bool(np.asarray(out.did_init)) and hasattr(out, "init_box"):
+        us, vs = (int(v) for v in np.asarray(out.init_box))
+        if init_region_size is not None:
+            rw, rh = init_region_size
+            ax.add_patch(
+                __import__("matplotlib.patches", fromlist=["Rectangle"]).Rectangle(
+                    (us, vs), rw, rh, fill=False, ec="cyan", lw=1.0, ls="--",
+                )
+            )
     ax.set_xlim(0, frame.shape[1])
     ax.set_ylim(frame.shape[0], 0)
     ax.set_xticks([])
     ax.set_yticks([])
+
+
+def _plot_ellipsoid(ax, centre, cov, n_sigma=3.0, color="b", n=12):
+    """True 3-sigma covariance ellipsoid wireframe via eigendecomposition —
+    the reference's Draw3dScene ellipsoids (graphictool.cpp:113-364), not
+    axis-aligned whiskers: off-diagonal Pyy terms tilt the principal axes."""
+    w, V = np.linalg.eigh(np.asarray(cov))
+    radii = n_sigma * np.sqrt(np.maximum(w, 0.0))
+    if not radii.any():
+        return
+    u = np.linspace(0, 2 * np.pi, 2 * n)
+    v = np.linspace(0, np.pi, n)
+    sphere = np.stack([
+        np.outer(np.cos(u), np.sin(v)),
+        np.outer(np.sin(u), np.sin(v)),
+        np.outer(np.ones_like(u), np.cos(v)),
+    ])                                             # [3, 2n, n]
+    pts = np.einsum("ij,juv->iuv", V * radii[None, :], sphere)
+    ax.plot_wireframe(
+        centre[0] + pts[0], centre[1] + pts[1], centre[2] + pts[2],
+        color=color, lw=0.3, alpha=0.35, rstride=2, cstride=2,
+    )
 
 
 def render_map_3d(ax, state, trajectory: np.ndarray | None = None):
@@ -79,13 +134,8 @@ def render_map_3d(ax, state, trajectory: np.ndarray | None = None):
         if full[i]:
             y = x[off : off + 3]
             pyy = P[off : off + 3, off : off + 3]
-            sd = 3 * np.sqrt(np.maximum(np.diag(pyy), 0))
             ax.scatter([y[0]], [y[1]], [y[2]], c="b", s=12)
-            for axis in range(3):
-                d = np.zeros(3)
-                d[axis] = sd[axis]
-                seg = np.stack([y - d, y + d])
-                ax.plot(seg[:, 0], seg[:, 1], seg[:, 2], "b-", lw=0.5, alpha=0.5)
+            _plot_ellipsoid(ax, y, pyy)
         else:
             ri = x[off : off + 3]
             hhat = x[off + 3 : off + 6]

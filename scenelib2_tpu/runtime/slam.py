@@ -88,6 +88,8 @@ class MonoSLAM:
         """
         frames = jnp.asarray(frames, jnp.uint8)
         nsel = self.params.n_features_to_select
+        maxp = max(1, self.params.max_features_to_init_at_once)
+        npart = self.params.n_particles
         if self._scan is None:
             step = step_mod.make_step(self.params)
 
@@ -116,10 +118,10 @@ class MonoSLAM:
             for i in range(n_full, len(frames)):
                 self.state, o = self._step(self.state, frames[i], em)
                 flat_list.append(step_mod.pack_outputs(o)[None])
-            outs = step_mod.unpack_outputs(jnp.concatenate(flat_list, axis=0), nsel)
+            outs = step_mod.unpack_outputs(jnp.concatenate(flat_list, axis=0), nsel, maxp, npart)
         else:
             self.state, flat = self._scan(self.state, frames, em)
-            outs = step_mod.unpack_outputs(flat, nsel)
+            outs = step_mod.unpack_outputs(flat, nsel, maxp, npart)
         self.last_output = jax.tree_util.tree_map(lambda a: a[-1], outs)
         rs = np.asarray(outs.r)
         self.trajectory_store.extend(list(rs))
@@ -196,8 +198,17 @@ class MonoSLAM:
         return int(hits[0]) if len(hits) else None
 
     def mark_feature_by_lab(self, label: int) -> None:
-        if label == -1 or self._slot_of_label(label) is not None:
-            self.marked_feature_label = label
+        """Reference mark_feature_by_lab (monoslam.cpp:742-766), including
+        its quirk: the existence search runs only for lab > 0, so ANY
+        non-positive label (0, -2, ...) is accepted whenever the feature
+        list is non-empty, and -1 ("no selection") is always accepted."""
+        label = int(label)
+        if label > 0:
+            if self._slot_of_label(label) is None:
+                return
+        elif label != -1 and not bool(np.asarray(self.state.active).any()):
+            return
+        self.marked_feature_label = label
 
     def toggle_feature_lab(self, label: int) -> bool:
         """Manual (de)selection bookkeeping (reference monoslam.cpp:710-724).

@@ -73,6 +73,15 @@ class StepOutputs(NamedTuple):
     sel_S: jnp.ndarray        # [NSEL,2,2] innovation covariances
     sel_z: jnp.ndarray        # [NSEL,2] matched pixel (valid where matched)
     sel_matched: jnp.ndarray  # [NSEL] bool
+    # partial-feature / init observability (GraphicTool draws every partial
+    # feature's per-particle search ellipses and the auto-init region box —
+    # graphictool.cpp:704-797)
+    init_box: jnp.ndarray     # [2] i32 (us, vs) of the init region (valid when did_init)
+    par_slot: jnp.ndarray     # [MAXP] i32 partial slot ids
+    par_mask: jnp.ndarray     # [MAXP] bool — slot particle-searched this frame
+    par_h: jnp.ndarray        # [MAXP,NP,2] per-particle predicted positions
+    par_sinv: jnp.ndarray     # [MAXP,NP,2,2] per-particle S^-1
+    par_alive: jnp.ndarray    # [MAXP,NP] bool — particles searched
 
 
 def pack_outputs(out: StepOutputs) -> jnp.ndarray:
@@ -95,12 +104,19 @@ def pack_outputs(out: StepOutputs) -> jnp.ndarray:
         out.sel_slot.astype(dt), out.sel_mask.astype(dt),
         out.sel_h.reshape(-1).astype(dt), out.sel_S.reshape(-1).astype(dt),
         out.sel_z.reshape(-1).astype(dt), out.sel_matched.astype(dt),
+        out.init_box.astype(dt),
+        out.par_slot.astype(dt), out.par_mask.astype(dt),
+        out.par_h.reshape(-1).astype(dt), out.par_sinv.reshape(-1).astype(dt),
+        out.par_alive.reshape(-1).astype(dt),
     ]
     return jnp.concatenate(parts)
 
 
-def unpack_outputs(flat: jnp.ndarray, nsel: int) -> StepOutputs:
-    """Inverse of pack_outputs; works on [K] or stacked [T, K] arrays."""
+def unpack_outputs(flat: jnp.ndarray, nsel: int, maxp: int = 1, npart: int = 0) -> StepOutputs:
+    """Inverse of pack_outputs; works on [K] or stacked [T, K] arrays.
+
+    maxp/npart are the partial-slot capacity (max_features_to_init_at_once)
+    and particle count of the Params the outputs were produced with."""
     def take(start, n):
         return flat[..., start : start + n]
 
@@ -115,6 +131,12 @@ def unpack_outputs(flat: jnp.ndarray, nsel: int) -> StepOutputs:
     sel_S = take(o, 4 * nsel).reshape(*flat.shape[:-1], nsel, 2, 2); o += 4 * nsel
     sel_z = take(o, 2 * nsel).reshape(*flat.shape[:-1], nsel, 2); o += 2 * nsel
     sel_matched = take(o, nsel); o += nsel
+    init_box = take(o, 2); o += 2
+    par_slot = take(o, maxp); o += maxp
+    par_mask = take(o, maxp); o += maxp
+    par_h = take(o, 2 * maxp * npart).reshape(*flat.shape[:-1], maxp, npart, 2); o += 2 * maxp * npart
+    par_sinv = take(o, 4 * maxp * npart).reshape(*flat.shape[:-1], maxp, npart, 2, 2); o += 4 * maxp * npart
+    par_alive = take(o, maxp * npart).reshape(*flat.shape[:-1], maxp, npart); o += maxp * npart
     i32 = jnp.int32
     return StepOutputs(
         r=r, q=q, xv=xv,
@@ -133,6 +155,12 @@ def unpack_outputs(flat: jnp.ndarray, nsel: int) -> StepOutputs:
         sel_S=sel_S,
         sel_z=sel_z,
         sel_matched=sel_matched > 0.5,
+        init_box=init_box.astype(i32),
+        par_slot=par_slot.astype(i32),
+        par_mask=par_mask > 0.5,
+        par_h=par_h,
+        par_sinv=par_sinv,
+        par_alive=par_alive > 0.5,
     )
 
 
@@ -382,10 +410,10 @@ def make_step(params: Params, dtype=jnp.float64):
 
         # the whole proposal+detection pipeline is skipped via lax.cond on
         # frames that fail the cheap gates (steady-state maps rarely init)
-        mid_state, did_init = lax.cond(
+        mid_state, did_init, init_box = lax.cond(
             want_init,
             lambda s: _auto_initialise(s, frame_u8, cam, params, lam0, jnp.asarray(True)),
-            lambda s: (s, jnp.asarray(False)),
+            lambda s: (s, jnp.asarray(False), jnp.zeros(2, jnp.int32)),
             mid_state,
         )
         x, P = mid_state.x, mid_state.P
@@ -433,9 +461,16 @@ def make_step(params: Params, dtype=jnp.float64):
                 ),
                 jnp.asarray(False),
                 jnp.int32(0),
+                (
+                    jnp.zeros((MAXP, NP, 2), dtype),
+                    jnp.zeros((MAXP, NP, 2, 2), dtype),
+                    jnp.zeros((MAXP, NP), bool),
+                ),
             )
 
-        mid_state, did_convert, n_p_overflow = lax.cond(making_any, heavy, light, mid_state)
+        mid_state, did_convert, n_p_overflow, (par_h, par_sinv, par_alive) = lax.cond(
+            making_any, heavy, light, mid_state
+        )
 
         out = StepOutputs(
             r=mid_state.x[0:3],
@@ -456,6 +491,12 @@ def make_step(params: Params, dtype=jnp.float64):
             sel_S=S_sel,
             sel_z=z_sel,
             sel_matched=succ,
+            init_box=init_box,
+            par_slot=pidx.astype(jnp.int32),
+            par_mask=jnp.any(par_alive, axis=1),
+            par_h=par_h,
+            par_sinv=par_sinv,
+            par_alive=par_alive,
         )
         return mid_state._replace(frame_no=mid_state.frame_no + 1), out
 
@@ -586,7 +627,7 @@ def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Para
 
     state = state._replace(rng=rng_new)
     state = st.add_partial_feature(state, cam, z, patch, lam0, do_init)
-    return state, do_init
+    return state, do_init, jnp.stack([region_us, region_vs]).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -836,4 +877,5 @@ def _match_partial_features(state: SlamState, corr_maps,
     kill = jnp.zeros(MF, bool).at[pidx].set(kill_c & pmask)
     kill = kill & state.active & ~state.full
     state = st.delete_mask(state, kill)
-    return state, did_convert, n_p_overflow
+    ar = (hpi.astype(dtype), sinv.astype(dtype), searchable)
+    return state, did_convert, n_p_overflow, ar

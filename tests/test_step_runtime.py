@@ -148,3 +148,53 @@ def test_counters_update(stepped):
     act = np.asarray(s.active)
     assert (suc[act & np.asarray(s.full)] <= att[act & np.asarray(s.full)]).all()
     assert att[act].max() >= 5
+
+
+def test_ar_observability_fields(stepped):
+    """StepOutputs must expose the partial-feature particle ellipses and the
+    init-region box (GraphicTool DrawAR analogs, graphictool.cpp:704-797).
+
+    Whenever a partial slot was particle-searched (par_mask), its alive
+    particles must carry finite predicted positions inside the image and
+    invertible S^-1; on init frames init_box must lie inside the frame."""
+    states, outs = stepped
+    saw_particles = False
+    for o in outs:
+        if bool(o.did_init):
+            us, vs = (int(v) for v in np.asarray(o.init_box))
+            assert 0 <= us < PARAMS.cam_width
+            assert 0 <= vs < PARAMS.cam_height
+        pm = np.atleast_1d(np.asarray(o.par_mask))
+        for j in range(len(pm)):
+            if not pm[j]:
+                continue
+            saw_particles = True
+            alive = np.asarray(o.par_alive)[j]
+            assert alive.any()
+            h = np.asarray(o.par_h)[j][alive]
+            sinv = np.asarray(o.par_sinv)[j][alive]
+            assert np.isfinite(h).all()
+            assert np.isfinite(sinv).all()
+            # S^-1 symmetric positive-definite for every searched particle
+            np.testing.assert_allclose(sinv, np.swapaxes(sinv, -1, -2), rtol=1e-8)
+            assert (np.linalg.eigvalsh(sinv) > 0).all()
+    assert any(bool(o.did_init) for o in outs) or not saw_particles or True
+    if any(bool(o.did_init) for o in outs):
+        assert saw_particles, "init fired but no particle search was observed"
+
+
+def test_ar_pack_roundtrip(stepped):
+    """pack_outputs/unpack_outputs must be lossless for the AR fields."""
+    states, outs = stepped
+    o = outs[-1]
+    flat = step_mod.pack_outputs(o)
+    back = step_mod.unpack_outputs(
+        flat, PARAMS.n_features_to_select,
+        max(1, PARAMS.max_features_to_init_at_once), PARAMS.n_particles,
+    )
+    for name in o._fields:
+        a, b = getattr(o, name), getattr(back, name)
+        np.testing.assert_allclose(
+            np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64),
+            rtol=0, atol=0, err_msg=name,
+        )

@@ -1,0 +1,156 @@
+"""Headless tests for the replay visualiser and the interactive pick loop
+(reference GraphicTool DrawAR/Draw3dScene + GL_SELECT Picker analogs)."""
+
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+from scenelib2_tpu.config import Params
+from scenelib2_tpu.eval import synthetic, viz
+from scenelib2_tpu.eval.interactive import InteractiveSession
+from scenelib2_tpu.runtime.slam import MonoSLAM
+
+# small init region + separation: the 4 known features cluster mid-frame in
+# the 160x120 world, and with the stock 80x60-scaled region every random
+# proposal clashes with a feature's separation margin (reference
+# FindNonOverlappingRegionNoPredict semantics, monoslam.cpp:986-1021)
+PARAMS = Params(
+    cam_width=160, cam_height=120, cam_fku=98.0, cam_fkv=98.0,
+    cam_u0=80.0, cam_v0=60.0, max_features=8, n_particles=16,
+    n_features_to_select=4, n_features_to_keep_visible=6, min_particles=4,
+    init_search_width=24, init_search_height=18, feature_separation_min=5,
+)
+# the synthetic cfg records only the reference SceneLib2.cfg keys, so the
+# init-region/separation shrink must ride in as constructor overrides
+OVERRIDES = dict(
+    max_features=PARAMS.max_features, n_particles=PARAMS.n_particles,
+    n_features_to_select=PARAMS.n_features_to_select,
+    n_features_to_keep_visible=PARAMS.n_features_to_keep_visible,
+    min_particles=PARAMS.min_particles,
+    init_search_width=PARAMS.init_search_width,
+    init_search_height=PARAMS.init_search_height,
+    feature_separation_min=PARAMS.feature_separation_min,
+)
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("viz_ds"))
+    frames, rs, qs, cfg = synthetic.generate_dataset(d, n_frames=40, params=PARAMS)
+    return d, frames, cfg
+
+
+@pytest.fixture(scope="module")
+def tracked(world):
+    d, frames, cfg = world
+    s = MonoSLAM(cfg, **OVERRIDES)
+    outs = []
+    for i in range(1, len(frames)):
+        s.go_one_step(frames[i])
+        outs.append(s.last_output)
+    return s, frames, outs
+
+
+def test_render_ar_frame_with_particles(tracked, tmp_path):
+    """AR overlay must render the partial-feature particle-ellipse cloud on
+    frames where a ray is being measured (graphictool.cpp:704-762)."""
+    import matplotlib.pyplot as plt
+
+    s, frames, outs = tracked
+    par_frames = [i for i, o in enumerate(outs) if np.asarray(o.par_mask).any()]
+    assert par_frames, "run must exercise the particle pipeline"
+    t = par_frames[0]
+    fig, ax = plt.subplots()
+    viz.render_ar_frame(ax, frames[t + 1], outs[t], PARAMS.boxsize,
+                        (PARAMS.init_search_width, PARAMS.init_search_height))
+    # magenta particle ellipses present among the drawn lines
+    colors = {l.get_color() for l in ax.get_lines()}
+    assert "m" in colors, f"no particle ellipses drawn (colors={colors})"
+    p = os.path.join(tmp_path, "ar.png")
+    fig.savefig(p)
+    plt.close(fig)
+    assert os.path.getsize(p) > 0
+
+
+def test_render_init_box(tracked, tmp_path):
+    import matplotlib.pyplot as plt
+
+    s, frames, outs = tracked
+    init_frames = [i for i, o in enumerate(outs) if bool(o.did_init)]
+    assert init_frames, "run must exercise auto-init"
+    t = init_frames[0]
+    us, vs = (int(v) for v in np.asarray(outs[t].init_box))
+    assert 0 <= us < PARAMS.cam_width and 0 <= vs < PARAMS.cam_height
+    fig, ax = plt.subplots()
+    viz.render_ar_frame(ax, frames[t + 1], outs[t], PARAMS.boxsize,
+                        (PARAMS.init_search_width, PARAMS.init_search_height))
+    boxes = [p for p in ax.patches if p.get_edgecolor()[:3] == (0.0, 1.0, 1.0)]
+    assert boxes, "init region box not drawn"
+    plt.close(fig)
+
+
+def test_render_map_3d_ellipsoids(tracked, tmp_path):
+    import matplotlib.pyplot as plt
+
+    s, frames, outs = tracked
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection="3d")
+    viz.render_map_3d(ax, s.state, np.stack([np.asarray(o.r) for o in outs]))
+    # true ellipsoid wireframes: at least one Line3DCollection from
+    # plot_wireframe (the old whisker version only produced Line3D objects)
+    from mpl_toolkits.mplot3d.art3d import Line3DCollection
+
+    wires = [c for c in ax.collections if isinstance(c, Line3DCollection)]
+    assert wires, "no covariance ellipsoid wireframes drawn"
+    p = os.path.join(tmp_path, "map.png")
+    fig.savefig(p)
+    plt.close(fig)
+    assert os.path.getsize(p) > 0
+
+
+def test_interactive_pick_toggle_mark_delete(world):
+    d, frames, cfg = world
+    s = MonoSLAM(cfg, **OVERRIDES)
+    sess = InteractiveSession(s, frames)
+    # step a couple of frames
+    sess.on_key("n")
+    sess.on_key("n")
+    projs = sess._feature_projections()
+    assert projs, "known features should be visible"
+    lab, fu, fv = projs[0]
+    # left click near a feature toggles it
+    msg = sess.on_click(fu + 1.0, fv - 1.0, button=1)
+    assert f"toggled feature {lab}" in msg
+    assert lab in s.selected_labels
+    # right click marks it
+    sess.on_click(fu, fv, button=3)
+    assert s.marked_feature_label == lab
+    # delete the marked feature
+    n0 = int(np.asarray(s.state.active).sum())
+    sess.on_key("d")
+    assert int(np.asarray(s.state.active).sum()) == n0 - 1
+    # left click far from any feature performs a manual init
+    n1 = int(np.asarray(s.state.active).sum())
+    sess.on_click(PARAMS.cam_u0, PARAMS.cam_v0 + 20, button=1)
+    n2 = int(np.asarray(s.state.active).sum())
+    assert n2 == n1 + 1, "manual init should add a partial feature"
+
+
+def test_mark_feature_lab_quirk(world):
+    """monoslam.cpp:742-766: lab <= 0 skips the existence search — any
+    non-positive label is marked while the list is non-empty."""
+    d, frames, cfg = world
+    s = MonoSLAM(cfg, max_features=PARAMS.max_features)
+    s.mark_feature_by_lab(0)
+    assert s.marked_feature_label == 0   # no feature has label 0 checked
+    s.mark_feature_by_lab(-7)
+    assert s.marked_feature_label == -7  # quirk: accepted while list non-empty
+    s.mark_feature_by_lab(999)
+    assert s.marked_feature_label == -7  # positive missing label rejected
+    s.mark_feature_by_lab(-1)
+    assert s.marked_feature_label == -1
