@@ -32,3 +32,11 @@ DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "data")
 @pytest.fixture
 def data_dir():
     return os.path.abspath(DATA_DIR)
+
+
+def pytest_collection_modifyitems(config, items):
+    # pallas implies slow: interpret-mode kernels take minutes on CPU, so the
+    # fast edit-loop selection is just `pytest -m "not slow"`
+    for item in items:
+        if "pallas" in item.keywords:
+            item.add_marker(pytest.mark.slow)

@@ -9,6 +9,8 @@ from scenelib2_tpu.config import Params
 from scenelib2_tpu.eval import synthetic
 from scenelib2_tpu.runtime.slam import MonoSLAM
 
+pytestmark = pytest.mark.slow  # compile-heavy end-to-end (full-suite/CI selection)
+
 PARAMS = Params(
     cam_width=160, cam_height=120, cam_fku=98.0, cam_fkv=98.0,
     cam_u0=80.0, cam_v0=60.0, max_features=8, n_particles=16,

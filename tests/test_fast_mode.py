@@ -11,8 +11,9 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy end-to-end (full-suite/CI selection)
 
-@pytest.mark.timeout(580)
+
 def test_fast_mode_pipeline_runs_and_tracks(tmp_path):
     script = r"""
 import os, json, tempfile

@@ -254,6 +254,7 @@ def test_rowband_matches_dense_particle_search(rng):
     np.testing.assert_array_equal(np.asarray(vd)[sel], np.asarray(vr)[sel])
 
 
+@pytest.mark.pallas
 def test_pallas_chol_inv_matches_unrolled(rng):
     """pallas_chol_inv_lower vs the unrolled f64 reference math in f32."""
     from scenelib2_tpu.core import ekf

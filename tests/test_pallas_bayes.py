@@ -6,6 +6,10 @@ import jax.numpy as jnp
 
 from scenelib2_tpu.kernels.pallas_bayes import pallas_bayes_update
 
+import pytest
+
+pytestmark = pytest.mark.pallas  # interpret-mode on CPU: slow; deselect with -m 'not pallas'
+
 
 def _xla_reference(prob_c, lam_c, palive_c, found, p_over, z, hpi, sinv, dets,
                    making, pmask, ma, prune=0.05, sd_ratio=0.3, min_part=4,

@@ -7,6 +7,10 @@ import jax.numpy as jnp
 from scenelib2_tpu.core import ekf
 from scenelib2_tpu.kernels.pallas_ekf import pallas_joint_update_norm
 
+import pytest
+
+pytestmark = pytest.mark.pallas  # interpret-mode on CPU: slow; deselect with -m 'not pallas'
+
 CAM_DIM = 13
 SLOT_DIM = 6
 

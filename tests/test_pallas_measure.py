@@ -10,6 +10,10 @@ from scenelib2_tpu.core import ekf, models
 from scenelib2_tpu.core.camera import CameraParams, measurement_noise
 from scenelib2_tpu.kernels import pallas_measure as pm
 
+import pytest
+
+pytestmark = pytest.mark.pallas  # interpret-mode on CPU: slow; deselect with -m 'not pallas'
+
 CAM_DIM = 13
 
 

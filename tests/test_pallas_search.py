@@ -12,6 +12,8 @@ from scenelib2_tpu.kernels import correlate
 from scenelib2_tpu.kernels.pallas_search import gather_windows_u8, pallas_elliptical_search
 from tests import oracle_improc as oracle
 
+pytestmark = pytest.mark.pallas  # interpret-mode on CPU: slow; deselect with -m 'not pallas'
+
 B = 11
 R = 20
 

@@ -7,6 +7,10 @@ import jax.numpy as jnp
 from scenelib2_tpu.kernels import shi_tomasi
 from scenelib2_tpu.kernels.pallas_shi_tomasi import pallas_shi_tomasi_region
 
+import pytest
+
+pytestmark = pytest.mark.pallas  # interpret-mode on CPU: slow; deselect with -m 'not pallas'
+
 B = 11
 
 

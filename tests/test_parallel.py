@@ -7,6 +7,8 @@ import pytest
 
 from scenelib2_tpu.parallel import mesh as pmesh
 
+pytestmark = pytest.mark.slow  # compile-heavy end-to-end (full-suite/CI selection)
+
 
 @pytest.fixture(scope="module")
 def devices_ok():

@@ -17,6 +17,8 @@ from scenelib2_tpu.runtime import state as st
 from scenelib2_tpu.runtime import step as step_mod
 from tests.oracle_monoslam import Cam, OracleMonoSLAM
 
+pytestmark = pytest.mark.slow  # compile-heavy end-to-end (full-suite/CI selection)
+
 PARAMS = Params(
     cam_width=160,
     cam_height=120,

@@ -13,6 +13,8 @@ from scenelib2_tpu.runtime import state as st
 from scenelib2_tpu.runtime import step as step_mod
 from tests.oracle_monoslam import Cam, Feat, OracleMonoSLAM
 
+pytestmark = pytest.mark.slow  # compile-heavy end-to-end (full-suite/CI selection)
+
 PARAMS = Params(max_features=16)
 N_FRAMES = 24
 

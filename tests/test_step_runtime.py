@@ -10,6 +10,8 @@ from scenelib2_tpu.eval import synthetic
 from scenelib2_tpu.runtime import state as st
 from scenelib2_tpu.runtime import step as step_mod
 
+pytestmark = pytest.mark.slow  # compile-heavy end-to-end (full-suite/CI selection)
+
 PARAMS = Params(
     cam_width=160,
     cam_height=120,

@@ -15,6 +15,8 @@ from scenelib2_tpu.eval import synthetic, viz
 from scenelib2_tpu.eval.interactive import InteractiveSession
 from scenelib2_tpu.runtime.slam import MonoSLAM
 
+pytestmark = pytest.mark.slow  # compile-heavy end-to-end (full-suite/CI selection)
+
 # small init region + separation: the 4 known features cluster mid-frame in
 # the 160x120 world, and with the stock 80x60-scaled region every random
 # proposal clashes with a feature's separation margin (reference
