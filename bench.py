@@ -74,7 +74,7 @@ def main():
     upload_s = time.perf_counter() - t_up
     # warm-up: compile every graph shape used below
     outs = slam.run_sequence(seq, enable_mapping=True, chunk=CHUNK)
-    jax.block_until_ready(outs.r)
+    np.asarray(outs.r[-1])  # fetch-sync: block_until_ready can return early on axon
     print(
         f"# setup+compile: {time.perf_counter()-t_setup:.1f}s "
         f"(sequence upload {upload_s*1000:.0f} ms for {seq.nbytes/1e6:.1f} MB)",
@@ -89,7 +89,7 @@ def main():
         slam.reset()
         t0 = time.perf_counter()
         outs = slam.run_sequence(seq, enable_mapping=True, chunk=CHUNK)
-        jax.block_until_ready(outs.r)
+        np.asarray(outs.r[-1])  # fetch-sync (see above)
         best_dt = min(best_dt, time.perf_counter() - t0)
     dt = best_dt
     fps = len(seq) / dt

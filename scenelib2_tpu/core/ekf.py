@@ -34,6 +34,9 @@ def predict(x: jnp.ndarray, P: jnp.ndarray, u: jnp.ndarray, delta_t: float,
     xv = x[:CAM_DIM]
     fv, F = motion.func_fv_and_dfv_by_dxv(xv, u, delta_t)
     Q = motion.func_Q(xv, delta_t, sd_a, sd_alpha)
+    # keep the caller's dtype: under x64 the motion-model literals are f64,
+    # which would silently promote an f32 state/covariance
+    fv, F, Q = fv.astype(x.dtype), F.astype(x.dtype), Q.astype(x.dtype)
 
     top = F @ P[:CAM_DIM, :]                      # new [Pxx*, Pxy_0, ...] rows
     pxx = top[:, :CAM_DIM] @ F.T + Q
@@ -48,6 +51,7 @@ def normalise(x: jnp.ndarray, P: jnp.ndarray):
     """Quaternion-normalisation covariance transform (state itself unchanged —
     reference quirk, see motion.func_xvnorm_and_dxvnorm_by_dxv)."""
     xv, J = motion.func_xvnorm_and_dxvnorm_by_dxv(x[:CAM_DIM])
+    xv, J = xv.astype(x.dtype), J.astype(x.dtype)  # see predict: dtype-preserving
     top = J @ P[:CAM_DIM, :]
     pxx = top[:, :CAM_DIM] @ J.T
     P = P.at[:CAM_DIM, :].set(top)

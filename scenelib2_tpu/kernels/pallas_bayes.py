@@ -165,9 +165,9 @@ def pallas_bayes_update(
     """Returns (prob_f [F,NP], palive_f [F,NP] bool, mean [F], cov [F],
     convert [F] bool, all_zero_kill... kill [F] bool, n_over [F] i32)."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu" and "axon" not in str(
-            jax.devices()[0].platform
-        ).lower()
+        from scenelib2_tpu.kernels.compat import default_interpret
+
+        interpret = default_interpret()
     F, NP = prob.shape
     NP_pad = max(_round_up(NP, 128), 128)
 

@@ -128,9 +128,9 @@ def pallas_joint_update_norm(
 
     Returns (x_out [D], P_out [D,D])."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu" and "axon" not in str(
-            jax.devices()[0].platform
-        ).lower()
+        from scenelib2_tpu.kernels.compat import default_interpret
+
+        interpret = default_interpret()
     D = x.shape[0]
     M = nu.shape[0]
     assert D <= 128, "single-tile kernel: D must fit one lane row"
@@ -300,9 +300,9 @@ def pallas_joint_update_norm_compact(
     """Fused update with in-kernel H/R/nu assembly from the measurement
     kernel's selected columns. Returns (x_out [D], P_out [D,D])."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu" and "axon" not in str(
-            jax.devices()[0].platform
-        ).lower()
+        from scenelib2_tpu.kernels.compat import default_interpret
+
+        interpret = default_interpret()
     D = x.shape[0]
     NSEL = sel.shape[1]
     NOUT = sel.shape[0]

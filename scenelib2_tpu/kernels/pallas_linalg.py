@@ -72,9 +72,9 @@ def _chol_inv_kernel(s_ref, out_ref, *, M, pad_m):
 def pallas_chol_inv_lower(S: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
     """L^-1 (lower triangular) for SPD S [M,M] f32; M <= 128."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu" and "axon" not in str(
-            jax.devices()[0].platform
-        ).lower()
+        from scenelib2_tpu.kernels.compat import default_interpret
+
+        interpret = default_interpret()
     M = S.shape[0]
     assert S.shape == (M, M) and M <= 128
     pad_m = _round_up(M, 8)

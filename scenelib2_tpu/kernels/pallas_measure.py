@@ -257,9 +257,9 @@ def pallas_measure_predict(
     import math
 
     if interpret is None:
-        interpret = jax.default_backend() != "tpu" and "axon" not in str(
-            jax.devices()[0].platform
-        ).lower()
+        from scenelib2_tpu.kernels.compat import default_interpret
+
+        interpret = default_interpret()
     MF = ys3.shape[0]
     assert MF <= 128
     f32 = jnp.float32

@@ -146,9 +146,9 @@ def pallas_particle_predict(
 ):
     """Returns (hpi [F,NP,2], sinv [F,NP,2,2], dets [F,NP], hw [F,NP], hh [F,NP])."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu" and "axon" not in str(
-            jax.devices()[0].platform
-        ).lower()
+        from scenelib2_tpu.kernels.compat import default_interpret
+
+        interpret = default_interpret()
     F, NP = lam.shape
     NP_pad = max(_round_up(NP, 128), 128)
     import numpy as _np

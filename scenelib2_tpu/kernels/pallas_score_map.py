@@ -206,9 +206,9 @@ def pallas_score_maps(
 ) -> jnp.ndarray:
     """Penalized NSSD score map for every patch: [F,H,W] f32."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu" and "axon" not in str(
-            jax.devices()[0].platform
-        ).lower()
+        from scenelib2_tpu.kernels.compat import default_interpret
+
+        interpret = default_interpret()
     H, W = frame_u8.shape
     F, B, _ = patches_u8.shape
     assert B * B + 2 <= 128, "patch stats must fit one SMEM row"

@@ -168,9 +168,9 @@ def pallas_elliptical_search(
     if interpret is None:
         # Mosaic only targets TPU; fall back to the (slow) interpreter so the
         # use_pallas config keeps working on CPU test backends
-        interpret = jax.default_backend() != "tpu" and "axon" not in str(
-            jax.devices()[0].platform
-        ).lower()
+        from scenelib2_tpu.kernels.compat import default_interpret
+
+        interpret = default_interpret()
     H, W = image_shape
     K = windows_u8.shape[0]
     side_u = min(2 * win_radius + 1, W - boxsize + 1)
@@ -260,9 +260,9 @@ def pallas_elliptical_search_fused(
     true-window cells only.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu" and "axon" not in str(
-            jax.devices()[0].platform
-        ).lower()
+        from scenelib2_tpu.kernels.compat import default_interpret
+
+        interpret = default_interpret()
     H, W = image_shape
     K = patches_u8.shape[0]
     B = boxsize
@@ -443,9 +443,9 @@ def pallas_multi_ellipse_search(
     the dense XLA form (same map values, same f32 mask arithmetic, same
     tie-break)."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu" and "axon" not in str(
-            jax.devices()[0].platform
-        ).lower()
+        from scenelib2_tpu.kernels.compat import default_interpret
+
+        interpret = default_interpret()
     F, H, W = corr_maps.shape
     P = h_centres.shape[1]
     side_u = min(2 * win_radius + 1, W)

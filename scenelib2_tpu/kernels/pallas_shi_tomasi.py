@@ -124,9 +124,9 @@ def pallas_shi_tomasi_region(
     """Returns (ubest, vbest, evbest) with find_best_patch_in_image_window
     semantics (f32 eigenvalues; fast mode only)."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu" and "axon" not in str(
-            jax.devices()[0].platform
-        ).lower()
+        from scenelib2_tpu.kernels.compat import default_interpret
+
+        interpret = default_interpret()
     H, W = image_shape
     B = boxsize
     half = (B - 1) // 2
