@@ -38,7 +38,12 @@ def main():
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.scenelib2_jax_cache"))
+        # prefer the repo-local warmed cache (committed at round end so a
+        # fresh driver environment skips the ~7 min cold compile); fall back
+        # to the home-dir cache it shares with the eval benchmarks
+        local = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+        cache = local if os.path.isdir(local) else os.path.expanduser("~/.scenelib2_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass

@@ -23,6 +23,20 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache() -> None:
+    """Persist compiled graphs across processes: the axon AOT compiler takes
+    minutes per large f64 graph, and every bench runs in its own process."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser("~/.scenelib2_jax_cache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def _stage(frames):
     """Pre-stage a frame stack on the device: offline-replay throughput
     measures compute, not the tunnel upload (bench.py does the same)."""
@@ -32,6 +46,15 @@ def _stage(frames):
     staged = jax.device_put(jnp.asarray(frames, jnp.uint8))
     jax.block_until_ready(staged)
     return staged
+
+
+def _sync(arr) -> None:
+    """Synchronize by fetching ONE element to the host. On the axon-tunnel
+    TPU platform `jax.block_until_ready` has been observed returning early
+    for re-dispatched identical computations; a device->host fetch of a
+    scalar slice of the result is unambiguous on every platform (and avoids
+    pulling the whole buffer through the ~22 MB/s tunnel)."""
+    np.asarray(arr[(0,) * getattr(arr, "ndim", 0)])
 
 
 def _fast_mode() -> bool:
@@ -62,13 +85,13 @@ def bench_testseq(n_frames: int = 240, warmup: int = 8):
     slam = MonoSLAM(cfg, max_features=16, use_pallas=_fast_mode())
     rest = _stage(frames[1:])
     outs = slam.run_sequence(rest)  # compile (same shape as the timed run)
-    jax.block_until_ready(outs.r)
+    _sync(outs.r[-1])
     dt = float("inf")
     for _ in range(3):
         slam.reset()
         t0 = time.perf_counter()
         outs = slam.run_sequence(rest)
-        jax.block_until_ready(outs.r)
+        _sync(outs.r[-1])
         dt = min(dt, time.perf_counter() - t0)
     matched = float(np.asarray(outs.n_matched).mean())
     return dict(
@@ -90,13 +113,13 @@ def bench_autoinit(n_frames: int = 240, warmup: int = 8):
     slam = MonoSLAM(cfg, max_features=24, use_pallas=_fast_mode())
     rest = _stage(frames[1:])
     outs = slam.run_sequence(rest)
-    jax.block_until_ready(outs.r)
+    _sync(outs.r[-1])
     dt = float("inf")
     for _ in range(3):
         slam.reset()
         t0 = time.perf_counter()
         outs = slam.run_sequence(rest)
-        jax.block_until_ready(outs.r)
+        _sync(outs.r[-1])
         dt = min(dt, time.perf_counter() - t0)
     return dict(
         metric="fps_autoinit_320x240",
@@ -125,13 +148,13 @@ def bench_hires(n_frames: int = 120, warmup: int = 8):
     slam = MonoSLAM(cfg, max_features=60, use_pallas=_fast_mode())
     rest = _stage(frames[1:])
     outs = slam.run_sequence(rest)
-    jax.block_until_ready(outs.r)
+    _sync(outs.r[-1])
     dt = float("inf")
     for _ in range(2):
         slam.reset()
         t0 = time.perf_counter()
         outs = slam.run_sequence(rest)
-        jax.block_until_ready(outs.r)
+        _sync(outs.r[-1])
         dt = min(dt, time.perf_counter() - t0)
     return dict(
         metric="fps_640x480_60feat",
@@ -141,126 +164,268 @@ def bench_hires(n_frames: int = 120, warmup: int = 8):
     )
 
 
-def bench_batch64(n_frames: int = 64, batch: int = 64, warmup: int = 4):
-    """vmap over independent sequences: aggregate frames/sec."""
+def bench_batch64(n_frames: int = 64, batch: int = 64, warmup: int = 4,
+                  n_textures: int = 32):
+    """vmap over GENUINELY independent sequences: aggregate frames/sec.
+
+    Each lane gets its own scene (32 texture seeds x 2 trajectory phase
+    offsets; the 1-frame offset stays within the initial pose uncertainty)
+    and its own known-feature patches cropped from its own frame 0, so lanes
+    diverge in matches, init timing, and map contents — replaying one
+    sequence on all 64 lanes (the round-1 version) kept branches and caches
+    in near-lockstep, which flattered the number."""
     import jax
     import jax.numpy as jnp
 
     from scenelib2_tpu.config import load_config
-    from scenelib2_tpu.parallel import mesh as pmesh
     from scenelib2_tpu.runtime import state as st
     from scenelib2_tpu.runtime import step as step_mod
     from scenelib2_tpu.io.pgm import read_pgm
 
-    frames, cfg_path, _ = _dataset(n_frames)
-    cfg = load_config(cfg_path)
+    offsets = max(1, batch // n_textures)
+    lane_frames = []
+    lane_cfgs = []
+    for tex in range(n_textures):
+        fr, cfg_path, _ = _dataset(n_frames + offsets, seed=7 + tex, tag=f"b64t{tex}")
+        lane_cfgs.append(load_config(cfg_path))
+        lane_frames.append(fr)
+    cfg = lane_cfgs[0]
     params = __import__("dataclasses").replace(
         cfg.params, max_features=16, use_pallas=_fast_mode(), batch_mode=True
     )
-    state = st.init_state(params, cfg.xv0, cfg.pxx0)
-    for kf in cfg.known_features:
-        state = st.add_known_feature(state, kf.y, kf.xp_org, read_pgm(kf.patch_path))
-    states = pmesh.replicate_states(state, batch)
-    fb = jnp.broadcast_to(jnp.asarray(frames[1:], jnp.uint8), (batch,) + frames[1:].shape)
-    fb = jnp.swapaxes(fb, 0, 1)  # [T, B, H, W]
+
+    half = (params.boxsize - 1) // 2
+    states = []
+    fb = np.empty((batch, n_frames - 1) + lane_frames[0].shape[1:], np.uint8)
+    for lane in range(batch):
+        tex = lane % n_textures
+        off = lane // n_textures  # 0 or 1 frame of phase shift
+        lcfg = lane_cfgs[tex]
+        s = st.init_state(params, lcfg.xv0, lcfg.pxx0)
+        for kf in lcfg.known_features:
+            s = st.add_known_feature(s, kf.y, kf.xp_org, read_pgm(kf.patch_path))
+        states.append(s)
+        fb[lane] = lane_frames[tex][1 + off : n_frames + off]
+    states = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *states)
+    # per-lane drand48 streams (lane index as seed, like replicate_states)
+    from scenelib2_tpu.rng import pack_state, srand48
+
+    states = states._replace(
+        rng=jnp.asarray(np.stack([pack_state(srand48(i)) for i in range(batch)]))
+    )
+    fb = jnp.swapaxes(jnp.asarray(fb, jnp.uint8), 0, 1)  # [T, B, H, W]
 
     step = step_mod.make_step(params)
     vstep = jax.vmap(step, in_axes=(0, 0, None))
 
     def scan_fn(s, fr):
         s, o = vstep(s, fr, True)
-        return s, o.r
+        return s, (o.r, o.n_matched, o.n_active)
 
     run = jax.jit(lambda s, f: jax.lax.scan(scan_fn, s, f))
     s1, _ = run(states, fb)
-    jax.block_until_ready(s1.x)
+    _sync(s1.x[0])
     dt = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        s2, rs = run(states, fb)
-        jax.block_until_ready(rs)
+        s2, (rs, nm, na) = run(states, fb)
+        _sync(rs[-1])
         dt = min(dt, time.perf_counter() - t0)
     total_frames = fb.shape[0] * batch
+    final_active = np.asarray(na)[-1]
     return dict(
         metric="fps_batch64_aggregate",
         value=round(total_frames / dt, 2),
         unit="frames/sec",
         batch=batch,
+        distinct_scenes=n_textures,
+        mean_matched=round(float(np.asarray(nm).mean()), 2),
+        # lane divergence proof: final map sizes should NOT be identical
+        final_active_min=int(final_active.min()),
+        final_active_max=int(final_active.max()),
+    )
+
+
+def _make_map_state(n_feat: int, slot_dim: int, seed: int = 0):
+    """A realistic large-map filter state: camera at the origin (identity
+    quaternion, stock velocity noise) and n_feat full features spread over a
+    frustum in front of it, with an SPD covariance whose blocks live at the
+    given slot stride (6 = the framework's ray-capable layout, 3 = the
+    reference's packed full-feature layout, feature.h:79-142)."""
+    rng = np.random.default_rng(seed)
+    D = 13 + slot_dim * n_feat
+    x = np.zeros(D)
+    x[3] = 1.0  # identity quaternion
+    x[7:10] = [0.05, 0.02, 0.1]
+    x[10:13] = [0.01, 0.02, 0.005]
+    ys = np.stack(
+        [
+            rng.uniform(-1.5, 1.5, n_feat),
+            rng.uniform(-1.1, 1.1, n_feat),
+            rng.uniform(1.0, 4.0, n_feat),
+        ],
+        axis=1,
+    )
+    live = np.zeros(D, bool)
+    live[:13] = True
+    for k in range(n_feat):
+        off = 13 + slot_dim * k
+        x[off : off + 3] = ys[k]
+        live[off : off + 3] = True
+    # SPD covariance on the live dims only (dead ray dims stay exact zeros,
+    # like the runtime's 6-wide slots after conversion)
+    nlive = int(live.sum())
+    A = rng.normal(size=(nlive, nlive)) * 2e-4
+    P_live = A @ A.T + np.eye(nlive) * 1e-4
+    P = np.zeros((D, D))
+    P[np.ix_(live, live)] = P_live
+    return x, P, ys
+
+
+def _make_realistic_ekf_step(params, n_feat: int, slot_dim: int, n_sel: int = 10,
+                             predict: bool = True):
+    """One frame of the large-map EKF path with the REAL glue: per-slot
+    measurement prediction (projection + Jacobians + S_i + noise), top-k
+    selection, one-hot H/R/nu packing (runtime/step.py stages 2+4), joint
+    update, quaternion normalise, symmetrize. Measurements are synthetic
+    (z = h + 0.5px) but every matrix is assembled exactly as in the live
+    step — this is what `construct_total_measurement_stuff` + KalmanFilter
+    Update cost in the reference (monoslam.cpp:548-572, kalman.cpp:72-119)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scenelib2_tpu.core import ekf, models
+    from scenelib2_tpu.core.camera import CameraParams, measurement_noise
+
+    cam = CameraParams.from_params(params)
+    CAM_DIM = 13
+    dxp_pad = ((0, 0), (0, CAM_DIM - 7))
+
+    def step(x, P):
+        if predict:
+            x, P = ekf.predict(x, P, jnp.zeros(3), params.delta_t, params.sd_a, params.sd_alpha)
+        D = x.shape[0]
+        xp = x[:7]
+        # reshape-based slot gathers (vmapped dynamic_slice lowers to a
+        # serial while on TPU — same finding as runtime/state.py:304-317)
+        ys3 = x[CAM_DIM:].reshape(n_feat, slot_dim)[:, :3]
+        pxy3 = (
+            P[:CAM_DIM, CAM_DIM:]
+            .reshape(CAM_DIM, n_feat, slot_dim)
+            .transpose(1, 0, 2)[:, :, :3]
+        )
+        feat = P[CAM_DIM:, CAM_DIM:].reshape(n_feat, slot_dim, n_feat, slot_dim)
+        idxf = jnp.arange(n_feat, dtype=jnp.int32)
+        pyy3 = feat[idxf, :, idxf, :][:, :3, :3]
+        Pxx = P[:CAM_DIM, :CAM_DIM]
+
+        def per_slot(y, pxy_i, pyy_i):
+            h, hx7, hy, zeroed = models.full_predict_measurement(cam, y, xp)
+            R = measurement_noise(cam, h)
+            S = models.innovation_covariance(
+                Pxx, pxy_i, pyy_i, jnp.pad(hx7, dxp_pad), hy, R
+            )
+            # cast back to the bench dtype: the camera constants are f64
+            # under x64, which would silently promote an f32 run
+            dt = x.dtype
+            return (h.astype(dt), hx7.astype(dt), hy.astype(dt),
+                    R[0, 0].astype(dt), S.astype(dt))
+
+        h_all, hx_all, hy_all, Rd_all, S_all = jax.vmap(per_slot)(ys3, pxy3, pyy3)
+        score = S_all[:, 0, 0] + S_all[:, 1, 1]
+        _, top_idx = jax.lax.top_k(score, n_sel)
+        offs = CAM_DIM + slot_dim * top_idx
+        col_ids = offs[:, None] + jnp.arange(3, dtype=top_idx.dtype)[None, :]
+        onehot = (col_ids[:, :, None] == jnp.arange(D, dtype=jnp.int32)[None, None, :]).astype(x.dtype)
+        H_rows = jnp.einsum("kij,kjd->kid", hy_all[top_idx], onehot)
+        H_rows = H_rows.at[:, :, :7].set(hx_all[top_idx])
+        H_tot = H_rows.reshape(2 * n_sel, D)
+        R_tot = (
+            jnp.zeros((n_sel, 2, n_sel, 2), x.dtype)
+            .at[jnp.arange(n_sel, dtype=jnp.int32), :, jnp.arange(n_sel, dtype=jnp.int32), :]
+            .set(Rd_all[top_idx][:, None, None] * jnp.eye(2, dtype=x.dtype))
+            .reshape(2 * n_sel, 2 * n_sel)
+        )
+        nu_tot = jnp.full((n_sel, 2), 0.5, x.dtype).reshape(2 * n_sel)
+        # pallas_chol=False: this bench runs in an x64-enabled process, and
+        # Mosaic custom calls abort the axon TPU compiler (bitwidth<=32 layout
+        # check) whenever jax_enable_x64 is set — the live fast mode always
+        # runs with x64 off, so only benches/tests can hit this
+        x, P, _ = ekf.joint_update(x, P, H_tot, nu_tot, R_tot, pallas_chol=False)
+        x, P = ekf.normalise(x, P)
+        P = ekf.symmetrize(P)
+        return x, P
+
+    return step
+
+
+def _bench_ekf_frame(n_feat: int, slot_dim: int, n_steps: int, metric: str,
+                     predict: bool = True, dtype="float64"):
+    """Two-point timing (n_steps+2 minus 2) with scalar-fetch sync: cancels
+    the tunnel dispatch+fetch floor AND is immune to the axon client's
+    early-return on block_until_ready (see _sync)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scenelib2_tpu.config import Params
+
+    params = Params()
+    x0, P0, _ = _make_map_state(n_feat, slot_dim)
+    dt_np = np.float32 if dtype == "float32" else np.float64
+    step = _make_realistic_ekf_step(params, n_feat, slot_dim, predict=predict)
+    run = jax.jit(
+        lambda x, P, n: jax.lax.fori_loop(0, n, lambda i, c: step(*c), (x, P))
+    )
+    x1, P1 = run(jnp.asarray(x0.astype(dt_np)), jnp.asarray(P0.astype(dt_np)), 2)
+    _sync(x1)
+    assert x1.dtype == jnp.dtype(dtype), (x1.dtype, dtype)
+    per_step = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        xs, Ps = run(x1, P1, 2)
+        _sync(xs)
+        floor = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        x2, P2 = run(x1, P1, n_steps + 2)
+        _sync(x2)
+        full = time.perf_counter() - t0
+        per_step = min(per_step, max(full - floor, 0.0) / n_steps)
+    assert bool(jnp.isfinite(x2).all()), "EKF bench state went non-finite"
+    return dict(
+        metric=metric,
+        value=round(per_step * 1000, 3),
+        unit="ms/step",
+        state_dim=13 + slot_dim * n_feat,
+        slot_dim=slot_dim,
+        dtype=dtype,
+        assembly="real (predict+Si+topk+H/R/nu pack+update+normalise+symmetrize)",
     )
 
 
 def bench_stress500(n_steps: int = 50, n_feat: int = 500):
-    """Dense-covariance EKF predict + 10-measurement joint update at a
-    500-feature map (D = 13+6*500 = 3013), f64 fully on device."""
-    import jax
-    import jax.numpy as jnp
+    """Full EKF frame (real measurement assembly) at a 500-feature map in the
+    runtime's 6-wide slot layout (D = 13+6*500 = 3013), f64 on device."""
+    return _bench_ekf_frame(n_feat, 6, n_steps, "ekf_predict_update_ms_500feat")
 
-    from scenelib2_tpu.core import ekf
 
-    D = 13 + 6 * n_feat
-    rng = np.random.default_rng(0)
-    A = rng.normal(size=(D, D)) * 0.01
-    P = jnp.asarray(A @ A.T + np.eye(D))
-    x = jnp.asarray(rng.normal(size=D))
-    M = 20
-    H = jnp.zeros((M, D)).at[:, 13 : 13 + M].set(jnp.eye(M))
-    H = H.at[:, :13].set(jnp.asarray(rng.normal(size=(M, 13))))
-    nu = jnp.asarray(rng.normal(size=M))
-    R = jnp.eye(M)
+def bench_stress500_packed(n_steps: int = 50, n_feat: int = 500):
+    """Same frame with the reference's packed 3-dims-per-feature layout
+    (D = 1513): quantifies the 6-wide slot stride's covariance tax."""
+    return _bench_ekf_frame(n_feat, 3, n_steps, "ekf_predict_update_ms_500feat_packed3")
 
-    def step(x, P):
-        x, P = ekf.predict(x, P, jnp.zeros(3), 1 / 30.0, 4.0, 6.0)
-        x, P, _ = ekf.joint_update(x, P, H, nu * 0.01, R)
-        P = ekf.symmetrize(P)
-        return x, P
 
-    run = jax.jit(lambda x, P, n: jax.lax.fori_loop(0, n, lambda i, c: step(*c), (x, P)))
-    x1, P1 = run(x, P, 3)
-    jax.block_until_ready(P1)
-    t0 = time.perf_counter()
-    x2, P2 = run(x1, P1, n_steps)
-    jax.block_until_ready(P2)
-    dt = time.perf_counter() - t0
-    return dict(
-        metric="ekf_predict_update_ms_500feat",
-        value=round(dt / n_steps * 1000, 3),
-        unit="ms/step",
-        state_dim=D,
+def bench_stress500_f32(n_steps: int = 100, n_feat: int = 500):
+    """6-wide 500-feature frame in f32 (the fast-mode dtype): shows how much
+    of the f64 cost is TPU double-emulation rather than FLOPs."""
+    return _bench_ekf_frame(
+        n_feat, 6, n_steps, "ekf_predict_update_ms_500feat_f32", dtype="float32"
     )
 
 
 def bench_ekf100(n_steps: int = 200):
-    """EKF update latency at a 100-feature map (BASELINE.md reporting item)."""
-    import jax
-    import jax.numpy as jnp
-
-    from scenelib2_tpu.core import ekf
-
-    D = 13 + 6 * 100
-    rng = np.random.default_rng(0)
-    A = rng.normal(size=(D, D)) * 0.01
-    P = jnp.asarray(A @ A.T + np.eye(D))
-    x = jnp.asarray(rng.normal(size=D))
-    M = 20
-    H = jnp.zeros((M, D)).at[:, 13 : 13 + M].set(jnp.eye(M))
-    nu = jnp.asarray(rng.normal(size=M))
-    R = jnp.eye(M)
-
-    run = jax.jit(
-        lambda x, P, n: jax.lax.fori_loop(
-            0, n, lambda i, c: ekf.joint_update(c[0], c[1], H, nu * 0.01, R)[:2], (x, P)
-        )
-    )
-    x1, P1 = run(x, P, 3)
-    jax.block_until_ready(P1)
-    t0 = time.perf_counter()
-    x2, P2 = run(x1, P1, n_steps)
-    jax.block_until_ready(P2)
-    dt = time.perf_counter() - t0
-    return dict(
-        metric="ekf_update_ms_100feat", value=round(dt / n_steps * 1000, 3), unit="ms/step",
-        state_dim=D,
-    )
+    """EKF update frame at a 100-feature map (BASELINE.md reporting item);
+    includes the real H/R/nu assembly glue, no motion predict."""
+    return _bench_ekf_frame(100, 6, n_steps, "ekf_update_ms_100feat", predict=False)
 
 
 ALL_BENCHES = {
@@ -270,10 +435,13 @@ ALL_BENCHES = {
     "batch64": bench_batch64,
     "ekf100": bench_ekf100,
     "stress500": bench_stress500,
+    "stress500packed": bench_stress500_packed,
+    "stress500f32": bench_stress500_f32,
 }
 
 
 def run_all(names=None):
+    _enable_compile_cache()
     results = []
     for name, fn in ALL_BENCHES.items():
         if names and name not in names:
