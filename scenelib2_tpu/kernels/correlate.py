@@ -504,13 +504,21 @@ def multi_ellipse_search_unionbox(
     over = (halfwidth > win_radius) | (halfheight > win_radius)
 
     big = jnp.int32(1 << 24)
-    v_lo = jnp.min(jnp.where(alive, v0, big))
-    v_hi = jnp.max(jnp.where(alive, v0 + side_v, -big))
-    u_lo = jnp.min(jnp.where(alive, u0, big))
-    u_hi = jnp.max(jnp.where(alive, u0 + side_u, -big))
-    fits = (v_hi - v_lo <= bh) & (u_hi - u_lo <= bw)
-    bv0 = jnp.clip(v_lo, 0, H - bh)
-    bu0 = jnp.clip(u_lo, 0, W - bw)
+    # Tight per-particle effective region: the mask below is
+    # in_win & box & ell, so every pixel a particle can test lies inside
+    # intersect(its clipped window, its ellipse bounding box). After the
+    # first few Bayes updates the ellipses shrink far below the window
+    # side, so the union of INTERSECTIONS is typically a small fraction of
+    # the union of windows — worth a ladder of static band sizes.
+    r_v_lo = jnp.maximum(v0, vc - halfheight)
+    r_v_hi = jnp.minimum(v0 + side_v, vc + halfheight + 1)
+    r_u_lo = jnp.maximum(u0, uc - halfwidth)
+    r_u_hi = jnp.minimum(u0 + side_u, uc + halfwidth + 1)
+    nonempty = alive & (r_v_lo < r_v_hi) & (r_u_lo < r_u_hi)
+    v_lo = jnp.min(jnp.where(nonempty, r_v_lo, big))
+    v_hi = jnp.max(jnp.where(nonempty, r_v_hi, -big))
+    u_lo = jnp.min(jnp.where(nonempty, r_u_lo, big))
+    u_hi = jnp.max(jnp.where(nonempty, r_u_hi, -big))
 
     def _masks(uu, vv):
         urel = (uu - uc[:, None, None]).astype(corr_map.dtype)
@@ -540,12 +548,17 @@ def multi_ellipse_search_unionbox(
         kbest = jnp.where(tie, key, -1).max(axis=(1, 2))
         return best, kbest
 
-    def banded(_):
-        sub = lax.dynamic_slice(corr_map, (bv0, bu0), (bh, bw))
-        uu = (bu0 + jnp.arange(bw, dtype=jnp.int32))[None, None, :]
-        vv = (bv0 + jnp.arange(bh, dtype=jnp.int32))[None, :, None]
-        mask = _masks(uu, vv)
-        return _reduce(sub[None], mask, uu, vv)
+    def make_banded(bh_i, bw_i):
+        def banded(_):
+            bv0 = jnp.clip(v_lo, 0, H - bh_i)
+            bu0 = jnp.clip(u_lo, 0, W - bw_i)
+            sub = lax.dynamic_slice(corr_map, (bv0, bu0), (bh_i, bw_i))
+            uu = (bu0 + jnp.arange(bw_i, dtype=jnp.int32))[None, None, :]
+            vv = (bv0 + jnp.arange(bh_i, dtype=jnp.int32))[None, :, None]
+            mask = _masks(uu, vv)
+            return _reduce(sub[None], mask, uu, vv)
+
+        return banded
 
     def full(_):
         uu = jnp.arange(W, dtype=jnp.int32)[None, None, :]
@@ -553,7 +566,27 @@ def multi_ellipse_search_unionbox(
         mask = _masks(uu, vv)
         return _reduce(corr_map[None], mask, uu, vv)
 
-    best, kbest = lax.cond(fits, banded, full, None)
+    # ladder of union-box sizes, smallest first; converged particle clouds
+    # take the cheapest rung and only that rung executes (nested lax.cond:
+    # the false branch traces the next rung, it does not pre-compute it).
+    # Decisions stay bit-equal on every rung: same map values, same masks,
+    # comparison-based reductions.
+    rungs = []
+    for bh_i, bw_i in ((16, 128), (48, 192), (bh, bw)):
+        bh_i, bw_i = min(bh_i, H), min(bw_i, W)
+        if (bh_i, bw_i) not in rungs and (bh_i < H or bw_i < W):
+            rungs.append((bh_i, bw_i))
+
+    def eval_rung(k):
+        if k == len(rungs):
+            return full(None)
+        bh_i, bw_i = rungs[k]
+        fits_i = (v_hi - v_lo <= bh_i) & (u_hi - u_lo <= bw_i)
+        return lax.cond(
+            fits_i, make_banded(bh_i, bw_i), lambda _: eval_rung(k + 1), None
+        )
+
+    best, kbest = eval_rung(0)
     found = alive & (best <= corr_thresh2)
     return found, kbest // H, kbest % H, over & alive
 

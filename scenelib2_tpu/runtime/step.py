@@ -38,7 +38,10 @@ from scenelib2_tpu.core.camera import (
 )
 from scenelib2_tpu.core.quaternion import quat_to_rotation_matrix
 from scenelib2_tpu.kernels import correlate, shi_tomasi
-from scenelib2_tpu.kernels.pallas_ekf import pallas_joint_update_norm
+from scenelib2_tpu.kernels.pallas_ekf import (
+    pallas_joint_update_norm,
+    pallas_joint_update_norm_compact,
+)
 from scenelib2_tpu.kernels.pallas_particle import pallas_particle_predict
 from scenelib2_tpu.kernels.pallas_score_map import pallas_score_maps
 from scenelib2_tpu.kernels.pallas_search import (
@@ -329,30 +332,6 @@ def make_step(params: Params, dtype=jnp.float64):
         # ---- 4. joint EKF update + normalise (masked) ------------------------
         D = x.shape[0]
         offs = CAM_DIM + SLOT_DIM * top_idx
-
-        # Scatter the 2x3 feature blocks via a one-hot contraction (a vmapped
-        # dynamic_update_slice lowers to a serial while on TPU).
-        col_ids = offs[:, None] + jnp.arange(3, dtype=top_idx.dtype)[None, :]  # [NSEL,3]
-        onehot = (col_ids[:, :, None] == jnp.arange(D)[None, None, :]).astype(dtype)
-        hy_masked = jnp.where(succ[:, None, None], hy_sel, 0.0)
-        H_rows = jnp.einsum("kij,kjd->kid", hy_masked, onehot)
-        H_rows = H_rows.at[:, :, :7].set(
-            jnp.where(succ[:, None, None], hx_sel, 0.0)
-        )
-        H_tot = H_rows.reshape(2 * NSEL, D)
-        R_blocks = jnp.where(
-            succ[:, None, None],
-            Rd_sel[:, None, None] * jnp.eye(2, dtype=dtype),
-            jnp.eye(2, dtype=dtype),
-        )
-        R_tot = (
-            jnp.zeros((NSEL, 2, NSEL, 2), dtype)
-            .at[jnp.arange(NSEL), :, jnp.arange(NSEL), :]
-            .set(R_blocks)
-            .reshape(2 * NSEL, 2 * NSEL)
-        )
-        nu_tot = nu_sel.reshape(2 * NSEL)
-
         any_succ = n_matched > 0
 
         # ---- 5./6. bad-feature deletion mask + symmetrize --------------------
@@ -368,32 +347,69 @@ def make_step(params: Params, dtype=jnp.float64):
         fused_update = (
             fast_mode and params.use_pallas and not params.batch_mode and D <= 128
         )
-        if fused_update:
+        if fused_update and fast_kpath:
             # update + normalise + gate + delete-zeroing + symmetrize as ONE
-            # kernel (pallas_ekf.py); delete_mask then only flips the
-            # per-slot flags
+            # kernel (pallas_ekf.py); H/R/nu are assembled IN-KERNEL from the
+            # measurement kernel's selected-column block, so the one-hot
+            # einsum + R scatter + pad copies below never hit the XLA graph.
+            # delete_mask then only flips the per-slot flags.
             keep_dims = jnp.concatenate(
                 [jnp.ones(CAM_DIM, bool), jnp.repeat(~bad, SLOT_DIM)]
             )
-            x, P = pallas_joint_update_norm(
-                x, P, H_tot, nu_tot, R_tot, any_succ, keep_dims
+            x, P = pallas_joint_update_norm_compact(
+                x, P, sel, z_sel, succ, offs.astype(jnp.int32), keep_dims,
+                meas_rows=(pmeas.O_HX, pmeas.O_HY, pmeas.O_RD, pmeas.O_H),
             )
             mid_state = state._replace(
                 x=x, P=P, attempts=attempts, successes=successes
             )
             mid_state = st.delete_mask(mid_state, bad, zero_xp=False)
         else:
-            x_upd, P_upd, _ = ekf.joint_update(
-                x, P, H_tot, nu_tot, R_tot, pallas_chol=not params.batch_mode
+            # Scatter the 2x3 feature blocks via a one-hot contraction (a
+            # vmapped dynamic_update_slice lowers to a serial while on TPU).
+            col_ids = offs[:, None] + jnp.arange(3, dtype=top_idx.dtype)[None, :]
+            onehot = (col_ids[:, :, None] == jnp.arange(D)[None, None, :]).astype(dtype)
+            hy_masked = jnp.where(succ[:, None, None], hy_sel, 0.0)
+            H_rows = jnp.einsum("kij,kjd->kid", hy_masked, onehot)
+            H_rows = H_rows.at[:, :, :7].set(
+                jnp.where(succ[:, None, None], hx_sel, 0.0)
             )
-            x_upd, P_upd = ekf.normalise(x_upd, P_upd)
-            x = jnp.where(any_succ, x_upd, x)
-            P = jnp.where(any_succ, P_upd, P)
-            mid_state = state._replace(
-                x=x, P=P, attempts=attempts, successes=successes
+            H_tot = H_rows.reshape(2 * NSEL, D)
+            R_blocks = jnp.where(
+                succ[:, None, None],
+                Rd_sel[:, None, None] * jnp.eye(2, dtype=dtype),
+                jnp.eye(2, dtype=dtype),
             )
-            mid_state = st.delete_mask(mid_state, bad)
-            mid_state = mid_state._replace(P=ekf.symmetrize(mid_state.P))
+            R_tot = (
+                jnp.zeros((NSEL, 2, NSEL, 2), dtype)
+                .at[jnp.arange(NSEL), :, jnp.arange(NSEL), :]
+                .set(R_blocks)
+                .reshape(2 * NSEL, 2 * NSEL)
+            )
+            nu_tot = nu_sel.reshape(2 * NSEL)
+            if fused_update:
+                keep_dims = jnp.concatenate(
+                    [jnp.ones(CAM_DIM, bool), jnp.repeat(~bad, SLOT_DIM)]
+                )
+                x, P = pallas_joint_update_norm(
+                    x, P, H_tot, nu_tot, R_tot, any_succ, keep_dims
+                )
+                mid_state = state._replace(
+                    x=x, P=P, attempts=attempts, successes=successes
+                )
+                mid_state = st.delete_mask(mid_state, bad, zero_xp=False)
+            else:
+                x_upd, P_upd, _ = ekf.joint_update(
+                    x, P, H_tot, nu_tot, R_tot, pallas_chol=not params.batch_mode
+                )
+                x_upd, P_upd = ekf.normalise(x_upd, P_upd)
+                x = jnp.where(any_succ, x_upd, x)
+                P = jnp.where(any_succ, P_upd, P)
+                mid_state = state._replace(
+                    x=x, P=P, attempts=attempts, successes=successes
+                )
+                mid_state = st.delete_mask(mid_state, bad)
+                mid_state = mid_state._replace(P=ekf.symmetrize(mid_state.P))
         x, P = mid_state.x, mid_state.P
 
         # ---- 7. speed gate + auto feature initialisation ----------------------

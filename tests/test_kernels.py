@@ -295,20 +295,28 @@ def test_unionbox_search_matches_dense(rng):
     s = jnp.asarray(sinvs)
     al = jnp.asarray(alive)
 
-    # clustered centres (banded branch) and scattered centres (fallback)
-    for centres in (
-        np.stack([rng.uniform(60, 90, P), rng.uniform(40, 70, P)], axis=1),
-        np.stack([rng.uniform(-5, W + 5, P), rng.uniform(-5, Hh + 5, P)], axis=1),
-    ):
-        h = jnp.asarray(centres)
-        fd, ud, vd, od = correlate.multi_ellipse_search_dense(
-            m, h, s, al, win_radius=R
-        )
-        fu, uu_, vu, ou = correlate.multi_ellipse_search_unionbox(
-            m, h, s, al, win_radius=R, band_h=64, band_w=96
-        )
-        np.testing.assert_array_equal(np.asarray(fd), np.asarray(fu))
-        np.testing.assert_array_equal(np.asarray(od), np.asarray(ou))
-        fdn = np.asarray(fd)
-        np.testing.assert_array_equal(np.asarray(ud)[fdn], np.asarray(uu_)[fdn])
-        np.testing.assert_array_equal(np.asarray(vd)[fdn], np.asarray(vu)[fdn])
+    # very tight cluster + tight ellipses (smallest ladder rung), clustered
+    # centres (mid/large rungs), and scattered centres (full fallback)
+    tight_s = np.broadcast_to(np.array([[2.0, 0.1], [0.1, 2.0]]), (P, 2, 2))
+    cases = [
+        (np.stack([rng.uniform(70, 76, P), rng.uniform(50, 56, P)], axis=1),
+         jnp.asarray(tight_s)),
+        (np.stack([rng.uniform(60, 90, P), rng.uniform(40, 70, P)], axis=1), s),
+        (np.stack([rng.uniform(-5, W + 5, P), rng.uniform(-5, Hh + 5, P)], axis=1), s),
+        # ellipse boxes entirely outside the (border-clipped) windows
+        (np.stack([rng.uniform(-80, -60, P), rng.uniform(-80, -60, P)], axis=1), s),
+    ]
+    for centres, s_case in cases:
+        for al_case in (al, jnp.zeros(P, bool)):
+            h = jnp.asarray(centres)
+            fd, ud, vd, od = correlate.multi_ellipse_search_dense(
+                m, h, s_case, al_case, win_radius=R
+            )
+            fu, uu_, vu, ou = correlate.multi_ellipse_search_unionbox(
+                m, h, s_case, al_case, win_radius=R, band_h=64, band_w=96
+            )
+            np.testing.assert_array_equal(np.asarray(fd), np.asarray(fu))
+            np.testing.assert_array_equal(np.asarray(od), np.asarray(ou))
+            fdn = np.asarray(fd)
+            np.testing.assert_array_equal(np.asarray(ud)[fdn], np.asarray(uu_)[fdn])
+            np.testing.assert_array_equal(np.asarray(vd)[fdn], np.asarray(vu)[fdn])
