@@ -428,12 +428,20 @@ def bench_ekf100(n_steps: int = 200):
     return _bench_ekf_frame(100, 6, n_steps, "ekf_update_ms_100feat", predict=False)
 
 
+def bench_ekf100_f32(n_steps: int = 400):
+    """Fast-mode dtype at the 100-feature map: same realistic frame in f32."""
+    return _bench_ekf_frame(
+        100, 6, n_steps, "ekf_update_ms_100feat_f32", predict=False, dtype="float32"
+    )
+
+
 ALL_BENCHES = {
     "testseq": bench_testseq,
     "autoinit": bench_autoinit,
     "hires": bench_hires,
     "batch64": bench_batch64,
     "ekf100": bench_ekf100,
+    "ekf100f32": bench_ekf100_f32,
     "stress500": bench_stress500,
     "stress500packed": bench_stress500_packed,
     "stress500f32": bench_stress500_f32,

@@ -23,6 +23,12 @@ os.environ.setdefault("SCENELIB2_X64", "0")
 import jax
 import jax.numpy as jnp
 
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.scenelib2_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 import scenelib2_tpu  # noqa: F401
 from scenelib2_tpu.config import load_config
 from scenelib2_tpu.eval.synthetic import DATASET_VERSION
