@@ -48,27 +48,37 @@ def _search_body(smem_ref, win, out_ref, *, side_v, side_u,
     n = float(boxsize * boxsize)
 
     # pltpu.roll requires non-negative shifts: roll by (size - d) == roll by -d
-    def row_sum(img):
-        acc = img
-        for dx in range(1, boxsize):
-            acc = acc + pltpu.roll(img, pad_u - dx, 1)
-        return acc
+    def shift0(x, dy):
+        return x if dy == 0 else pltpu.roll(x, pad_v - dy, 0)
 
-    def col_sum(img):
-        acc = img
-        for dy in range(1, boxsize):
-            acc = acc + pltpu.roll(img, pad_v - dy, 0)
-        return acc
+    def shift1(x, dx):
+        return x if dx == 0 else pltpu.roll(x, pad_u - dx, 1)
 
-    sg1 = col_sum(row_sum(win))                       # top-left indexed sums
-    sg1sq = col_sum(row_sum(win * win))
+    # Top-left indexed sums, column (sublane) direction first so the
+    # shift0(win, dy) copies are shared with the cross loop below; lane rolls
+    # (the expensive shuffle on v5e) stay at B-1 per reduced array. All values
+    # are integer-valued u8 sums < 2^24, so every f32 sum is EXACT regardless
+    # of accumulation order (same trick as pallas_score_map).
+    win2 = win * win
+    colsum = win
+    colsum2 = win2
+    for dy in range(1, boxsize):
+        colsum = colsum + shift0(win, dy)
+        colsum2 = colsum2 + shift0(win2, dy)
+    sg1 = colsum
+    sg1sq = colsum2
+    for dx in range(1, boxsize):
+        sg1 = sg1 + shift1(colsum, dx)
+        sg1sq = sg1sq + shift1(colsum2, dx)
 
+    # cross-correlation: dx-outer keeps lane rolls to B-1 (the dy-inner
+    # sublane-rolled copies of win are CSE-shared with colsum above)
     cross = jnp.zeros_like(win)
-    for dy in range(boxsize):
-        rolled_r = pltpu.roll(win, (pad_v - dy) % pad_v, 0)
-        for dx in range(boxsize):
-            pval = smem_ref[0, 0, dy * boxsize + dx]
-            cross = cross + pval * pltpu.roll(rolled_r, (pad_u - dx) % pad_u, 1)
+    for dx in range(boxsize):
+        t = smem_ref[0, 0, dx] * win
+        for dy in range(1, boxsize):
+            t = t + smem_ref[0, 0, dy * boxsize + dx] * shift0(win, dy)
+        cross = cross + shift1(t, dx)
 
     sg0 = smem_ref[0, 1, 8]
     sg0sq = smem_ref[0, 1, 9]
