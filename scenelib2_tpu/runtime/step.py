@@ -42,7 +42,9 @@ from scenelib2_tpu.kernels.pallas_ekf import (
     pallas_joint_update_norm,
     pallas_joint_update_norm_compact,
 )
-from scenelib2_tpu.kernels.pallas_particle import pallas_particle_predict
+from scenelib2_tpu.kernels.pallas_particle import (
+    pallas_particle_predict_fused,
+)
 from scenelib2_tpu.kernels.pallas_score_map import pallas_score_maps
 from scenelib2_tpu.kernels.pallas_search import (
     gather_windows_u8,
@@ -717,8 +719,8 @@ def _match_partial_features(state: SlamState, corr_maps,
             K2 = N2 @ CN2
             return zeroed, K0, K12 + K12.T, K2
 
-        zeroed_c, K0c, Ksymc, K2c = jax.vmap(slot_geom)(ys6, pxy6, pyy6)
         if params.batch_mode or not params.use_pallas:
+            zeroed_c, K0c, Ksymc, K2c = jax.vmap(slot_geom)(ys6, pxy6, pyy6)
 
             def kform_slot(zeroed, K0, Ksym, K2, lam_row):
                 def kform_particle(lam_p):
@@ -737,8 +739,10 @@ def _match_partial_features(state: SlamState, corr_maps,
                 zeroed_c, K0c, Ksymc, K2c, lam_c
             )
         else:
-            hpi, sinv, dets, _, _ = pallas_particle_predict(
-                zeroed_c, K0c, Ksymc, K2c, lam_c,
+            # slot geometry fused into the kernel prologue: the quaternion /
+            # N / K-form chain is ~30 tiny XLA dispatches otherwise
+            hpi, sinv, dets, _, _ = pallas_particle_predict_fused(
+                ys6, pxy6, pyy6, xp, Pxx7, lam_c,
                 fku=cam.fku, fkv=cam.fkv, u0c=cam.u0, v0c=cam.v0,
                 kd1=cam.kd1, sd0=cam.sd, no_sigma=params.no_sigma,
             )

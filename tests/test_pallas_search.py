@@ -211,6 +211,79 @@ def test_pallas_particle_predict_matches_xla(rng):
     )
 
 
+def test_pallas_particle_predict_fused_matches_xla(rng):
+    """Fused-geometry kernel (in-kernel quaternion/N/K products from raw
+    state blocks) vs the XLA slot_geom + K-form chain it replaces."""
+    import jax
+    from scenelib2_tpu.config import Params
+    from scenelib2_tpu.core import ekf, models
+    from scenelib2_tpu.core.camera import (
+        CameraParams, measurement_noise, project, project_jacobian,
+    )
+    from scenelib2_tpu.kernels.pallas_particle import pallas_particle_predict_fused
+
+    params = Params()
+    cam = CameraParams.from_params(params)
+    f32 = jnp.float32
+    xp = np.zeros(7)
+    xp[3:7] = rng.normal(size=4)
+    xp[3:7] /= np.linalg.norm(xp[3:7])
+    xp[3:7] *= 1.0 + rng.normal(0, 1e-3)    # near-unit, like the live filter
+    xp[:3] = rng.normal(0, 0.1, 3)
+    y6 = np.concatenate([rng.normal(0, 0.1, 3), rng.normal(size=3)])
+    y6[3:] /= np.linalg.norm(y6[3:])
+    if y6[5] < 0.3:
+        y6[3:] = [0.1, 0.1, 0.99]
+        y6[3:] /= np.linalg.norm(y6[3:])
+    A = rng.normal(size=(13, 13))
+    C13 = A @ A.T / 80 + np.eye(13) * 1e-4
+    lam = np.linspace(0.5, 5.0, 64)
+
+    xp32 = jnp.asarray(xp, f32)
+    zeroed, dzx, dzy = models.part_zeroedyi(jnp.asarray(y6, f32), xp32)
+    Pxx7 = jnp.asarray(C13[:7, :7], f32)
+    pxy7 = jnp.asarray(C13[:7, 7:], f32)
+    pyy = jnp.asarray(C13[7:, 7:], f32)
+
+    Ctop = jnp.concatenate([Pxx7, pxy7], 1)
+    Cbot = jnp.concatenate([pxy7.T, pyy], 1)
+    C = jnp.concatenate([Ctop, Cbot], 0)
+    N1 = jnp.concatenate([dzx[0:3], dzy[0:3]], 1)
+    N2 = jnp.concatenate([dzx[3:6], dzy[3:6]], 1)
+    CN1, CN2 = C @ N1.T, C @ N2.T
+    K0, K12, K2 = N1 @ CN1, N1 @ CN2, N2 @ CN2
+    Ksym = K12 + K12.T
+
+    def ref_particle(lam_p):
+        hLR = zeroed[0:3] + lam_p * zeroed[3:6]
+        hpi = project(cam, hLR)
+        Aj = project_jacobian(cam, hLR)
+        Kl = K0 + lam_p * Ksym + (lam_p * lam_p) * K2
+        S = Aj @ Kl @ Aj.T + measurement_noise(cam, hpi)
+        return hpi, ekf.inv2x2_via_chol(S), S[0, 0] * S[1, 1] - S[1, 0] * S[0, 1]
+
+    h_ref, sinv_ref, det_ref = jax.vmap(ref_particle)(jnp.asarray(lam, f32))
+
+    # kernel consumes the RAW blocks — full [13,6] pxy whose velocity rows
+    # must be ignored ([:7] slice inside the wrapper)
+    pxy13 = jnp.asarray(
+        np.concatenate([np.asarray(pxy7), rng.normal(size=(6, 6))], axis=0), f32
+    )
+    h_k, sinv_k, det_k, hw_k, hh_k = pallas_particle_predict_fused(
+        jnp.asarray(y6, f32)[None], pxy13[None], pyy[None],
+        xp32, Pxx7, jnp.asarray(lam, f32)[None],
+        fku=cam.fku, fkv=cam.fkv, u0c=cam.u0, v0c=cam.v0,
+        kd1=cam.kd1, sd0=cam.sd, no_sigma=3.0, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(h_k[0]), np.asarray(h_ref), rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(sinv_k[0]), np.asarray(sinv_ref), rtol=5e-3, atol=3e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(det_k[0]), np.asarray(det_ref), rtol=5e-3, atol=1e-6
+    )
+
+
 def _score_map_f32_numpy(img, patch, sigma_thresh=10.0, penalty=5.0):
     """f32 NumPy replica of the fast-mode penalized score map (same op order
     as correlate.nssd_score, which the tests' x64 env would run in f64)."""
