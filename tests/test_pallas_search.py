@@ -265,23 +265,31 @@ def test_pallas_particle_predict_fused_matches_xla(rng):
     h_ref, sinv_ref, det_ref = jax.vmap(ref_particle)(jnp.asarray(lam, f32))
 
     # kernel consumes the RAW blocks — full [13,6] pxy whose velocity rows
-    # must be ignored ([:7] slice inside the wrapper)
+    # must be ignored ([:7] slice inside the wrapper). Two slots exercise the
+    # grid/per-slot SMEM indexing: slot 0 is a decoy with different geometry,
+    # slot 1 carries the reference values.
     pxy13 = jnp.asarray(
         np.concatenate([np.asarray(pxy7), rng.normal(size=(6, 6))], axis=0), f32
     )
+    y6_dec = np.concatenate([rng.normal(0, 0.1, 3), [0.2, -0.1, 0.97]])
+    ys = jnp.asarray(np.stack([y6_dec, y6]), f32)
+    pxys = jnp.stack([pxy13 * 0.5, pxy13])
+    pyys = jnp.stack([pyy * 2.0, pyy])
+    lams = jnp.asarray(np.stack([lam * 0.7, lam]), f32)
     h_k, sinv_k, det_k, hw_k, hh_k = pallas_particle_predict_fused(
-        jnp.asarray(y6, f32)[None], pxy13[None], pyy[None],
-        xp32, Pxx7, jnp.asarray(lam, f32)[None],
+        ys, pxys, pyys, xp32, Pxx7, lams,
         fku=cam.fku, fkv=cam.fkv, u0c=cam.u0, v0c=cam.v0,
         kd1=cam.kd1, sd0=cam.sd, no_sigma=3.0, interpret=True,
     )
-    np.testing.assert_allclose(np.asarray(h_k[0]), np.asarray(h_ref), rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(h_k[1]), np.asarray(h_ref), rtol=1e-5, atol=1e-3)
     np.testing.assert_allclose(
-        np.asarray(sinv_k[0]), np.asarray(sinv_ref), rtol=5e-3, atol=3e-4
+        np.asarray(sinv_k[1]), np.asarray(sinv_ref), rtol=5e-3, atol=3e-4
     )
     np.testing.assert_allclose(
-        np.asarray(det_k[0]), np.asarray(det_ref), rtol=5e-3, atol=1e-6
+        np.asarray(det_k[1]), np.asarray(det_ref), rtol=5e-3, atol=1e-6
     )
+    # the decoy slot must NOT equal the reference slot (per-slot params landed)
+    assert not np.allclose(np.asarray(h_k[0]), np.asarray(h_ref), atol=1e-3)
 
 
 def _score_map_f32_numpy(img, patch, sigma_thresh=10.0, penalty=5.0):
