@@ -890,12 +890,23 @@ def _match_partial_features(state: SlamState, corr_maps,
 
     # conversions, one compact row at a time (disjoint slots; MAXP is tiny —
     # unrolled python loop, no device loop machinery)
-    for j in range(MAXP):
-        state = st.convert_feature(state, pidx[j], mean[j], cov[j], convert_mask[j])
-    did_convert = jnp.any(convert_mask)
+    def do_surgery(s: SlamState) -> SlamState:
+        for j in range(MAXP):
+            s = st.convert_feature(s, pidx[j], mean[j], cov[j], convert_mask[j])
+        kill = jnp.zeros(MF, bool).at[pidx].set(kill_c & pmask)
+        kill = kill & s.active & ~s.full
+        return st.delete_mask(s, kill)
 
-    kill = jnp.zeros(MF, bool).at[pidx].set(kill_c & pmask)
-    kill = kill & state.active & ~state.full
-    state = st.delete_mask(state, kill)
+    did_convert = jnp.any(convert_mask)
+    any_surgery = did_convert | jnp.any(kill_c & pmask)
+    if params.batch_mode:
+        # under the lane vmap a cond is a select that evaluates both arms —
+        # keep the unconditional value-selected no-op form
+        state = do_surgery(state)
+    else:
+        # conversions/kills happen on a handful of frames; the surgery is an
+        # exact no-op when all masks are false (value-selected writes), so
+        # skipping it via a real cond is decision-identical
+        state = lax.cond(any_surgery, do_surgery, lambda s: s, state)
     ar = (hpi.astype(dtype), sinv.astype(dtype), searchable)
     return state, did_convert, n_p_overflow, ar
