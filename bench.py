@@ -88,33 +88,92 @@ def main():
 
     # timed: identical replays from a fresh filter, all graphs compiled;
     # best of N guards against the shared-tunnel timing jitter observed on
-    # this device (same binary has measured 127..264 fps across runs)
-    best_dt = float("inf")
-    for _ in range(int(os.environ.get("BENCH_REPEATS", "8"))):
+    # this device. The tunnel adds a fixed ~80-250 ms per dispatch with a
+    # long tail, so the repeat count must be high enough to sample the good
+    # tail: one replay costs ~0.2 s, so 40 repeats stay under +10 s.
+    times = []
+    for _ in range(int(os.environ.get("BENCH_REPEATS", "40"))):
         slam.reset()
         t0 = time.perf_counter()
         outs = slam.run_sequence(seq, enable_mapping=True, chunk=CHUNK)
         np.asarray(outs.r[-1])  # fetch-sync (see above)
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    dt = best_dt
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     fps = len(seq) / dt
 
     matched = np.asarray(outs.n_matched)
     print(
-        f"# {len(seq)} frames in {dt*1000:.1f} ms; mean matched/frame "
-        f"{matched.mean():.2f}; active at end {int(np.asarray(outs.n_active)[-1])}",
+        f"# {len(seq)} frames in {dt*1000:.1f} ms (median replay "
+        f"{np.median(times)*1000:.1f} ms over {len(times)} repeats); mean "
+        f"matched/frame {matched.mean():.2f}; active at end "
+        f"{int(np.asarray(outs.n_active)[-1])}",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "fps_testseq_like_320x240_mapping",
-                "value": round(fps, 2),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / 500.0, 4),
-            }
+    # device-module time for the same replay: the tunnel-jitter-free metric.
+    # If wall regresses while this holds, the gap is dispatch overhead, not
+    # the compute graph.
+    dev_ms = _device_time_ms(slam, seq)
+    if dev_ms is not None:
+        print(
+            f"# device module time: {dev_ms:.1f} ms total, "
+            f"{dev_ms/len(seq):.3f} ms/frame ({len(seq)/dev_ms*1000:.0f} fps "
+            f"device-equivalent)",
+            file=sys.stderr,
         )
-    )
+    result = {
+        "metric": "fps_testseq_like_320x240_mapping",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 500.0, 4),
+    }
+    if dev_ms is not None:
+        result["device_ms_per_frame"] = round(dev_ms / len(seq), 4)
+    print(json.dumps(result))
+
+
+def _device_time_ms(slam, seq):
+    """Total on-device module time of one compiled replay via a profiler
+    trace (the 'XLA Modules' line of the TPU xplane). Returns None when the
+    trace machinery is unavailable — the bench then reports wall only."""
+    import glob
+    import tempfile
+
+    import jax
+
+    try:
+        out_dir = tempfile.mkdtemp(prefix="scenelib2_benchtrace_")
+        slam.reset()
+        jax.profiler.start_trace(out_dir)
+        outs = slam.run_sequence(seq, enable_mapping=True, chunk=CHUNK)
+        np.asarray(outs.r[-1])
+        jax.profiler.stop_trace()
+        files = sorted(
+            glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"), recursive=True),
+            key=os.path.getmtime,
+        )
+        if not files:
+            return None
+        try:
+            from tensorflow.tsl.profiler.protobuf import xplane_pb2
+        except ImportError:
+            from tensorboard_plugin_profile.protobuf import xplane_pb2
+        xs = xplane_pb2.XSpace()
+        with open(files[-1], "rb") as f:
+            xs.ParseFromString(f.read())
+        best = None
+        for plane in xs.planes:
+            if "TPU" not in plane.name and "device" not in plane.name.lower():
+                continue
+            for line in plane.lines:
+                if "module" not in (line.name or "").lower():
+                    continue
+                total = sum(ev.duration_ps for ev in line.events) / 1e9
+                if total and (best is None or total > best):
+                    best = total
+        return best
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"# device-time trace unavailable: {e!r}", file=sys.stderr)
+        return None
 
 
 if __name__ == "__main__":

@@ -25,44 +25,59 @@ def _ellipse_points(S, n_sigma=3.0, n=48):
     return (V @ (np.sqrt(w)[:, None] * circ)) * n_sigma
 
 
+def feature_colour(selected: bool, successful: bool, marked: bool = False) -> str:
+    """The reference's SetFeatureColour palette (graphictool.cpp:1344-1362):
+    marked features green; selected features red when the last measurement
+    succeeded, blue when it failed; unselected features yellow."""
+    if marked:
+        return "lime"
+    if selected:
+        return "red" if successful else "blue"
+    return "yellow"
+
+
 def render_ar_frame(ax, frame: np.ndarray, out, boxsize: int = 11,
-                    init_region_size: tuple[int, int] | None = (80, 60)):
+                    init_region_size: tuple[int, int] | None = (80, 60),
+                    marked_label: int = -1):
     """Draw one frame's AR overlay onto a matplotlib Axes.
 
     `out` is a single-frame StepOutputs slice (numpy-compatible fields).
-    Red ellipse = search region, green cross = accepted match, yellow box =
-    predicted patch position for unmatched features.
+    Colours follow the reference's SetFeatureColour split: red ellipse/patch
+    box for a successfully matched selected feature, blue for a selected
+    feature whose search failed, green for the marked feature; the patch box
+    is drawn at the match position z when matched, else at the prediction h
+    (DrawRawAR, graphictool.cpp:322-338).
     """
     ax.imshow(frame, cmap="gray", vmin=0, vmax=255)
     half = (boxsize - 1) // 2
     sel_mask = np.asarray(out.sel_mask)
+    sel_slot = np.asarray(getattr(out, "sel_slot", np.full(len(sel_mask), -1)))
     for k in range(len(sel_mask)):
         if not sel_mask[k]:
             continue
+        matched = bool(np.asarray(out.sel_matched)[k])
+        col = feature_colour(True, matched, marked_label >= 0 and sel_slot[k] == marked_label)
         h = np.asarray(out.sel_h)[k]
         S = np.asarray(out.sel_S)[k]
         pts = _ellipse_points(S) + h[:, None]
-        ax.plot(pts[0], pts[1], "r-", lw=0.8)
-        if np.asarray(out.sel_matched)[k]:
+        ax.plot(pts[0], pts[1], color=col, lw=0.8)
+        if matched:
             z = np.asarray(out.sel_z)[k]
             ax.plot([z[0]], [z[1]], "g+", ms=10, mew=2)
-            ax.add_patch(
-                __import__("matplotlib.patches", fromlist=["Rectangle"]).Rectangle(
-                    (z[0] - half, z[1] - half), boxsize, boxsize,
-                    fill=False, ec="lime", lw=0.8,
-                )
-            )
+            bx, by = z[0], z[1]
         else:
-            ax.add_patch(
-                __import__("matplotlib.patches", fromlist=["Rectangle"]).Rectangle(
-                    (h[0] - half, h[1] - half), boxsize, boxsize,
-                    fill=False, ec="yellow", lw=0.8,
-                )
+            bx, by = h[0], h[1]
+        ax.add_patch(
+            __import__("matplotlib.patches", fromlist=["Rectangle"]).Rectangle(
+                (bx - half, by - half), boxsize, boxsize,
+                fill=False, ec=col, lw=0.8,
             )
+        )
 
-    # partial features: per-particle search ellipses (reference draws every
-    # Nth of up to 10 per ray — graphictool.cpp:704-762); magenta like the
-    # reference's partially-initialised colour
+    # partial features: per-particle search ellipses. The reference draws
+    # every particles_step-th particle STARTING at particles_step-1, with
+    # particles_step = max(n/10, 1) (kDrawNOverlappingEllipses_=10,
+    # graphictool.cpp:714-762), in yellow (glColor4f(1,1,0) at :758).
     if hasattr(out, "par_mask"):
         par_mask = np.atleast_1d(np.asarray(out.par_mask))
         for j in range(len(par_mask)):
@@ -72,14 +87,14 @@ def render_ar_frame(ax, frame: np.ndarray, out, boxsize: int = 11,
             hs = np.asarray(out.par_h)[j]
             sinvs = np.asarray(out.par_sinv)[j]
             idx = np.nonzero(alive)[0]
-            stride = max(1, len(idx) // 10)  # <=10 ellipses like the reference
-            for k in idx[::stride]:
+            stride = max(1, len(idx) // 10)
+            for k in idx[stride - 1 :: stride]:
                 try:
                     S = np.linalg.inv(sinvs[k])
                 except np.linalg.LinAlgError:
                     continue
                 pts = _ellipse_points(S) + hs[k][:, None]
-                ax.plot(pts[0], pts[1], "m-", lw=0.5, alpha=0.6)
+                ax.plot(pts[0], pts[1], color="yellow", lw=0.5, alpha=0.6)
 
     # auto-init region box (graphictool.cpp:774-797)
     if hasattr(out, "did_init") and bool(np.asarray(out.did_init)) and hasattr(out, "init_box"):
@@ -119,14 +134,25 @@ def _plot_ellipsoid(ax, centre, cov, n_sigma=3.0, color="b", n=12):
     )
 
 
-def render_map_3d(ax, state, trajectory: np.ndarray | None = None):
-    """3-D map points + camera trajectory + per-feature 3-sigma extents."""
+def render_map_3d(ax, state, trajectory: np.ndarray | None = None,
+                  out=None, marked_label: int = -1):
+    """3-D map points + camera trajectory + per-feature 3-sigma extents.
+
+    When a StepOutputs slice is given, points take the reference's
+    SetFeatureColour palette (selected+matched red, selected+failed blue,
+    marked green, else yellow — graphictool.cpp:1344-1362)."""
     from scenelib2_tpu.runtime import state as st
 
     active = np.asarray(state.active)
     full = np.asarray(state.full)
     x = np.asarray(state.x)
     P = np.asarray(state.P)
+    labels = np.asarray(state.label)
+    sel_of_slot = {}
+    if out is not None:
+        for k, s in enumerate(np.asarray(out.sel_slot)):
+            if np.asarray(out.sel_mask)[k]:
+                sel_of_slot[int(s)] = bool(np.asarray(out.sel_matched)[k])
     for i in range(len(active)):
         if not active[i]:
             continue
@@ -134,7 +160,13 @@ def render_map_3d(ax, state, trajectory: np.ndarray | None = None):
         if full[i]:
             y = x[off : off + 3]
             pyy = P[off : off + 3, off : off + 3]
-            ax.scatter([y[0]], [y[1]], [y[2]], c="b", s=12)
+            col = (
+                feature_colour(i in sel_of_slot, sel_of_slot.get(i, False),
+                               marked_label == int(labels[i]))
+                if out is not None
+                else "b"
+            )
+            ax.scatter([y[0]], [y[1]], [y[2]], c=col, s=12)
             _plot_ellipsoid(ax, y, pyy)
         else:
             ri = x[off : off + 3]

@@ -137,7 +137,7 @@ class MonoSLAM:
             lam0 = jnp.asarray(st.lambda_grid(params))
 
             def init_only(state, frame_u8):
-                state, did = step_mod._auto_initialise(
+                state, did, _box = step_mod._auto_initialise(
                     state, frame_u8, cam, params, lam0, jnp.asarray(True)
                 )
                 return state, did

@@ -16,6 +16,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+try:
+    # warm re-runs of the suite skip recompiling the big jacfwd/scan graphs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/scenelib2_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

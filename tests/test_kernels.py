@@ -128,6 +128,7 @@ def test_multi_ellipse_low_sigma_penalty():
     assert bool(found[0]) == res_o[0][0] == False  # 0 + 5 penalty > 0.40
 
 
+@pytest.mark.slow  # compile-heavy equivalence check; covered fast by cross-native + parity suites
 def test_multi_ellipse_dense_matches_windowed(rng):
     """The fused broadcast particle search (the step's path) agrees exactly
     with the per-particle windowed search on the same shared score map."""
@@ -208,6 +209,7 @@ def test_shi_tomasi_empty_region(rng):
     assert float(e) == 0.0
 
 
+@pytest.mark.slow  # compile-heavy equivalence check; covered fast by cross-native + parity suites
 def test_tie_break_last_scan_order():
     """Two identical patch sites inside the ellipse: reference keeps the one
     visited LAST in (u outer, v inner) scan order."""
@@ -223,6 +225,7 @@ def test_tie_break_last_scan_order():
     assert (int(res.u[0]), int(res.v[0])) == (u_o, v_o) == (35, 15)
 
 
+@pytest.mark.slow  # compile-heavy equivalence check; covered fast by cross-native + parity suites
 def test_rowband_matches_dense_particle_search(rng):
     """multi_ellipse_search_rowband must be bit-equal to the dense broadcast
     form in f64 (same masked candidate set, same reductions)."""
@@ -275,6 +278,7 @@ def test_pallas_chol_inv_matches_unrolled(rng):
         np.testing.assert_allclose(Linv32, Linv64, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow  # compile-heavy equivalence check; covered fast by cross-native + parity suites
 def test_unionbox_search_matches_dense(rng):
     """multi_ellipse_search_unionbox (banded AND overflow-fallback branches)
     vs the dense broadcast: identical decisions and pixels."""

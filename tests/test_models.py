@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from scenelib2_tpu.config import Params
 from scenelib2_tpu.core import camera as C
@@ -110,6 +111,7 @@ def test_part_init_ray_geometry(rng):
     np.testing.assert_allclose(np.asarray(ypi[3:6]), RWR @ (hLR / np.linalg.norm(hLR)), atol=1e-12)
 
 
+@pytest.mark.slow  # compile-heavy equivalence check; covered fast by cross-native + parity suites
 def test_part_predict_measurement_consistency(rng):
     """Projecting the ray at its true depth must land where the point projects."""
     xp = sample_xp(rng)
