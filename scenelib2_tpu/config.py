@@ -134,6 +134,13 @@ class Params:
     # unrolled Cholesky, vmapped particle predict) — single-invocation Pallas
     # kernels serialize across a vmapped batch axis (one grid step per lane)
     batch_mode: bool = False
+    # batch_pallas: in batch_mode, still run the image-plane Pallas kernels
+    # (measurement predict, fused search, score maps, Shi-Tomasi, particle
+    # predict) under the lane vmap — each lane is one grid step, which beats
+    # the dense XLA forms because per-invocation work is image-sized. The
+    # joint EKF update stays batched XLA (64 tiny serial kernel steps would
+    # underuse the MXU vs one [B,D,D] matmul).
+    batch_pallas: bool = True
 
     @property
     def state_dim(self) -> int:

@@ -157,11 +157,15 @@ def add_partial_feature(
     patch_u8: jnp.ndarray,   # [B,B]
     lam0: jnp.ndarray,       # [NP] initial lambda grid
     enable: jnp.ndarray,     # [] bool — masked no-op when False
+    onehot: bool = False,
 ) -> SlamState:
     """Partial (ray) feature insertion inside jit (feature.cpp:45-104).
 
     New slot rows of P are J_x P[cam,:] with J_x = dypi_by_dxp dxp_by_dxv, and
     the slot diagonal gets + dypi_by_dhi R dypi_by_dhi'.
+
+    onehot=True uses one-hot placement instead of dynamic slices (for the
+    batch-mode step; see convert_feature).
     """
     slot, any_free = free_slot(state)
     doit = enable & any_free
@@ -182,17 +186,33 @@ def add_partial_feature(
     zero = jnp.zeros_like(off)
     D = state.P.shape[0]
     P = state.P
-    old_rows = lax.dynamic_slice(P, (off, zero), (SLOT_DIM, D))
-    rows = jnp.where(doit, new_rows, old_rows)
-    pyy_w = jnp.where(doit, pyy, lax.dynamic_slice(P, (off, off), (SLOT_DIM, SLOT_DIM)))
-    P = lax.dynamic_update_slice(P, rows, (off, zero))
-    P = lax.dynamic_update_slice(P, rows.T, (zero, off))
-    P = lax.dynamic_update_slice(P, pyy_w, (off, off))
-    x = lax.dynamic_update_slice(
-        state.x,
-        jnp.where(doit, ypi, lax.dynamic_slice(state.x, (off,), (SLOT_DIM,))),
-        (off,),
-    )
+    if onehot:
+        ar = jnp.arange(D, dtype=off.dtype)
+        E = (ar[None, :] == (off + jnp.arange(SLOT_DIM, dtype=off.dtype))[:, None]
+             ).astype(P.dtype)                                  # [6,D]
+        slotmask = (ar >= off) & (ar < off + SLOT_DIM)
+        # a free slot's rows/cols and x entries are exact zeros already, so
+        # the masked clear is a no-op placement, not a value change
+        rows0 = jnp.where(slotmask[None, :], 0.0, new_rows)     # diag via pyy
+        P_new = (
+            jnp.where(slotmask[:, None] | slotmask[None, :], 0.0, P)
+            + E.T @ rows0 + rows0.T @ E + E.T @ pyy @ E
+        )
+        x_new = jnp.where(slotmask, E.T @ ypi, state.x)
+        P = jnp.where(doit, P_new, P)
+        x = jnp.where(doit, x_new, state.x)
+    else:
+        old_rows = lax.dynamic_slice(P, (off, zero), (SLOT_DIM, D))
+        rows = jnp.where(doit, new_rows, old_rows)
+        pyy_w = jnp.where(doit, pyy, lax.dynamic_slice(P, (off, off), (SLOT_DIM, SLOT_DIM)))
+        P = lax.dynamic_update_slice(P, rows, (off, zero))
+        P = lax.dynamic_update_slice(P, rows.T, (zero, off))
+        P = lax.dynamic_update_slice(P, pyy_w, (off, off))
+        x = lax.dynamic_update_slice(
+            state.x,
+            jnp.where(doit, ypi, lax.dynamic_slice(state.x, (off,), (SLOT_DIM,))),
+            (off,),
+        )
 
     NP = state.lam.shape[1]
     uniform = jnp.full(NP, 1.0 / NP, jnp.float64)
@@ -256,37 +276,66 @@ def convert_feature(
     lam_mean: jnp.ndarray,    # [] f64
     lam_cov: jnp.ndarray,     # [] f64
     enable: jnp.ndarray,      # [] bool
+    onehot: bool = False,
 ) -> SlamState:
     """Ray -> 3D point conversion (feature.cpp:204-269) on the dense P.
 
     P rows for the slot become T P[slot6,:] with T = dyfi_by_dypi, the slot
     diagonal becomes T Pyy T' + b Plambda b', and the now-unused 3 dims are
     zeroed.
+
+    onehot=True replaces every dynamic slice/update with one-hot matmuls and
+    masked selects (bit-identical placement: E is 0/1 so each contraction
+    sum has exactly one term). Used by the batch-mode step — a vmapped
+    dynamic_update_slice lowers to a serial per-lane while on TPU.
     """
     off = slot_offset(slot)
-    zero = jnp.zeros_like(off)
-    y6 = lax.dynamic_slice(state.x, (off,), (SLOT_DIM,))
-    yfi, T, b = models.part_convert_to_full(y6, lam_mean)
+    D = state.P.shape[0]
 
-    old_rows = lax.dynamic_slice(state.P, (off, zero), (SLOT_DIM, state.P.shape[1]))
-    old_pyy = lax.dynamic_slice(state.P, (off, off), (SLOT_DIM, SLOT_DIM))
+    if onehot:
+        ar = jnp.arange(D, dtype=off.dtype)
+        E = (ar[None, :] == (off + jnp.arange(SLOT_DIM, dtype=off.dtype))[:, None]
+             ).astype(state.P.dtype)                          # [6,D]
+        slotmask = (ar >= off) & (ar < off + SLOT_DIM)        # [D]
+        y6 = E @ state.x
+        yfi, T, b = models.part_convert_to_full(y6, lam_mean)
+        old_rows = E @ state.P                                # [6,D]
+        old_pyy = old_rows @ E.T                              # [6,6]
+        new_rows3 = T @ old_rows
+        new_pyy3 = T @ old_pyy @ T.T + b @ (lam_cov.reshape(1, 1)) @ b.T
+        rows6 = jnp.zeros((SLOT_DIM, D), state.P.dtype).at[:3].set(new_rows3)
+        rows6 = jnp.where(slotmask[None, :], 0.0, rows6)      # diag via pyy6
+        pyy6 = jnp.zeros((SLOT_DIM, SLOT_DIM), state.P.dtype).at[:3, :3].set(new_pyy3)
+        cleared = jnp.where(slotmask[:, None] | slotmask[None, :], 0.0, state.P)
+        P_new = cleared + E.T @ rows6 + rows6.T @ E + E.T @ pyy6 @ E
+        x6 = jnp.zeros(SLOT_DIM, state.x.dtype).at[:3].set(yfi)
+        x_new = jnp.where(slotmask, E.T @ x6, state.x)
+        P = jnp.where(enable, P_new, state.P)
+        x = jnp.where(enable, x_new, state.x)
+    else:
+        zero = jnp.zeros_like(off)
+        y6 = lax.dynamic_slice(state.x, (off,), (SLOT_DIM,))
+        yfi, T, b = models.part_convert_to_full(y6, lam_mean)
 
-    new_rows3 = T @ old_rows                                  # [3, D]
-    new_pyy3 = T @ old_pyy @ T.T + b @ (lam_cov.reshape(1, 1)) @ b.T
+        old_rows = lax.dynamic_slice(state.P, (off, zero), (SLOT_DIM, D))
+        old_pyy = lax.dynamic_slice(state.P, (off, off), (SLOT_DIM, SLOT_DIM))
 
-    # disabled conversions are exact no-ops via value-selected writes (this
-    # runs unconditionally in the step; no state-wide `where`)
-    rows6 = jnp.zeros((SLOT_DIM, state.P.shape[1]), state.P.dtype).at[:3].set(new_rows3)
-    rows6 = jnp.where(enable, rows6, old_rows)
-    P = lax.dynamic_update_slice(state.P, rows6, (off, zero))
-    P = lax.dynamic_update_slice(P, rows6.T, (zero, off))
-    pyy6 = jnp.zeros((SLOT_DIM, SLOT_DIM), state.P.dtype).at[:3, :3].set(new_pyy3)
-    pyy6 = jnp.where(enable, pyy6, old_pyy)
-    P = lax.dynamic_update_slice(P, pyy6, (off, off))
+        new_rows3 = T @ old_rows                                  # [3, D]
+        new_pyy3 = T @ old_pyy @ T.T + b @ (lam_cov.reshape(1, 1)) @ b.T
 
-    x6 = jnp.zeros(SLOT_DIM, state.x.dtype).at[:3].set(yfi)
-    old_x6 = lax.dynamic_slice(state.x, (off,), (SLOT_DIM,))
-    x = lax.dynamic_update_slice(state.x, jnp.where(enable, x6, old_x6), (off,))
+        # disabled conversions are exact no-ops via value-selected writes
+        # (this runs unconditionally in the step; no state-wide `where`)
+        rows6 = jnp.zeros((SLOT_DIM, D), state.P.dtype).at[:3].set(new_rows3)
+        rows6 = jnp.where(enable, rows6, old_rows)
+        P = lax.dynamic_update_slice(state.P, rows6, (off, zero))
+        P = lax.dynamic_update_slice(P, rows6.T, (zero, off))
+        pyy6 = jnp.zeros((SLOT_DIM, SLOT_DIM), state.P.dtype).at[:3, :3].set(new_pyy3)
+        pyy6 = jnp.where(enable, pyy6, old_pyy)
+        P = lax.dynamic_update_slice(P, pyy6, (off, off))
+
+        x6 = jnp.zeros(SLOT_DIM, state.x.dtype).at[:3].set(yfi)
+        old_x6 = lax.dynamic_slice(state.x, (off,), (SLOT_DIM,))
+        x = lax.dynamic_update_slice(state.x, jnp.where(enable, x6, old_x6), (off,))
 
     return state._replace(
         x=x,

@@ -199,7 +199,7 @@ def make_step(params: Params, dtype=jnp.float64):
         fast_kpath = (
             (jnp.zeros((), jnp.float64).dtype == jnp.float32)
             and params.use_pallas
-            and not params.batch_mode
+            and (not params.batch_mode or params.batch_pallas)
         )
         if fast_kpath:
             # whole per-slot chain (rotation, projection, Jacobians, S_i,
@@ -277,7 +277,7 @@ def make_step(params: Params, dtype=jnp.float64):
         u0_sel, v0_sel, _, _ = correlate.search_window_origin(
             h_sel, params.search_win_radius, W, H, B, round_half=True
         )
-        if params.use_pallas and not params.batch_mode:
+        if params.use_pallas and (not params.batch_mode or params.batch_pallas):
             s_found, s_u, s_v, s_best, s_over = pallas_elliptical_search_fused(
                 frame_u8, state.patches[top_idx], u0_sel, v0_sel,
                 h_sel, sinv_sel, sel_mask,
@@ -447,7 +447,7 @@ def make_step(params: Params, dtype=jnp.float64):
         )
 
         def heavy(s: SlamState):
-            if params.use_pallas and fast_mode and not params.batch_mode:
+            if params.use_pallas and fast_mode and (not params.batch_mode or params.batch_pallas):
                 # one fused VMEM-resident kernel (box sums + cross-corr +
                 # NSSD + penalty); bit-identical to the XLA f32 map
                 corr_maps = pallas_score_maps(
@@ -627,7 +627,9 @@ def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Para
     ru, rv, ruf, rvf = shi_tomasi.clamp_region(
         region_us, region_vs, region_us + RW, region_vs + RH, W, H, B
     )
-    if x.dtype == jnp.float32 and params.use_pallas and not params.batch_mode:
+    if x.dtype == jnp.float32 and params.use_pallas and (
+        not params.batch_mode or params.batch_pallas
+    ):
         from scenelib2_tpu.kernels.pallas_shi_tomasi import pallas_shi_tomasi_region
 
         ubest, vbest, evbest = pallas_shi_tomasi_region(
@@ -644,7 +646,9 @@ def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Para
     z = jnp.stack([ubest, vbest]).astype(x.dtype)
 
     state = state._replace(rng=rng_new)
-    state = st.add_partial_feature(state, cam, z, patch, lam0, do_init)
+    state = st.add_partial_feature(
+        state, cam, z, patch, lam0, do_init, onehot=params.batch_mode
+    )
     return state, do_init, jnp.stack([region_us, region_vs]).astype(jnp.int32)
 
 
@@ -719,7 +723,7 @@ def _match_partial_features(state: SlamState, corr_maps,
             K2 = N2 @ CN2
             return zeroed, K0, K12 + K12.T, K2
 
-        if params.batch_mode or not params.use_pallas:
+        if (params.batch_mode and not params.batch_pallas) or not params.use_pallas:
             zeroed_c, K0c, Ksymc, K2c = jax.vmap(slot_geom)(ys6, pxy6, pyy6)
 
             def kform_slot(zeroed, K0, Ksym, K2, lam_row):
@@ -778,16 +782,35 @@ def _match_partial_features(state: SlamState, corr_maps,
     searchable = palive_c & making[:, None]
 
     if params.batch_mode:
-        # batch: keep the full dense broadcast form — vmapping a lax.cond
-        # would evaluate BOTH union-box branches on every lane
-        def search_slot(cm, h_f, sinv_f, alive_f):
-            return correlate.multi_ellipse_search_dense(
-                cm, h_f, sinv_f, alive_f,
+        if fast and params.use_pallas and params.batch_pallas:
+            # aligned-sub-block kernel: the dense form's full-map reduce per
+            # particle was the largest op in the 64-lane scan (~55% of the
+            # iteration); bit-equal decisions, scans <=BHxBW per particle
+            from scenelib2_tpu.kernels.pallas_particle_search import (
+                pallas_multi_ellipse_search,
+            )
+
+            found, zu, zv, p_over = pallas_multi_ellipse_search(
+                corr_maps.astype(jnp.float32), hpi, sinv, searchable,
                 win_radius=params.particle_win_radius,
                 no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
             )
+        else:
+            # cond-free dense broadcast — vmapping the union-box ladder
+            # would evaluate EVERY rung on every lane. (A rowband gather was
+            # measured ~10% SLOWER than this under the lane vmap:
+            # [B,P,side_v,W] advanced gathers beat streaming reads only on
+            # paper — scripts/profile_batch.py.)
+            def search_slot(cm, h_f, sinv_f, alive_f):
+                return correlate.multi_ellipse_search_dense(
+                    cm, h_f, sinv_f, alive_f,
+                    win_radius=params.particle_win_radius,
+                    no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
+                )
 
-        found, zu, zv, p_over = jax.vmap(search_slot)(corr_maps, hpi, sinv, searchable)
+            found, zu, zv, p_over = jax.vmap(search_slot)(
+                corr_maps, hpi, sinv, searchable
+            )
     else:
         # unrolled python loop over the (tiny, static) partial-slot count so
         # the union-box lax.cond stays a real cond
@@ -892,7 +915,10 @@ def _match_partial_features(state: SlamState, corr_maps,
     # unrolled python loop, no device loop machinery)
     def do_surgery(s: SlamState) -> SlamState:
         for j in range(MAXP):
-            s = st.convert_feature(s, pidx[j], mean[j], cov[j], convert_mask[j])
+            s = st.convert_feature(
+                s, pidx[j], mean[j], cov[j], convert_mask[j],
+                onehot=params.batch_mode,
+            )
         kill = jnp.zeros(MF, bool).at[pidx].set(kill_c & pmask)
         kill = kill & s.active & ~s.full
         return st.delete_mask(s, kill)

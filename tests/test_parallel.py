@@ -139,3 +139,78 @@ def test_replicate_states_rng_offsets(devices_ok):
     sb = pmesh.replicate_states(s, 4)
     assert sb.x.shape == (4, p.state_dim)
     assert len({tuple(r) for r in np.asarray(sb.rng)}) == 4  # distinct streams
+
+
+def test_batch_mode_step_matches_single_stream_decisions(rng):
+    """The batch-specialized step (batch_mode=True: dense particle search,
+    no-cond surgery, vmap-friendly forms) must make IDENTICAL per-frame
+    decisions and produce the same filter state as the single-stream step
+    replayed lane by lane."""
+    import dataclasses
+
+    from scenelib2_tpu.eval import synthetic
+    from scenelib2_tpu.io.pgm import read_pgm
+    from scenelib2_tpu.config import load_config
+    from scenelib2_tpu.rng import pack_state, srand48
+    from scenelib2_tpu.runtime import state as st
+    from scenelib2_tpu.runtime import step as step_mod
+
+    LANES, T = 3, 10
+    lane_frames, lane_cfgs = [], []
+    import tempfile
+
+    for k in range(LANES):
+        d = tempfile.mkdtemp(prefix=f"bmatch{k}_")
+        frames, rs, qs, cfg_path = synthetic.generate_dataset(
+            d, n_frames=T + 1, seed=11 + k
+        )
+        lane_frames.append(frames)
+        lane_cfgs.append(load_config(cfg_path))
+
+    params_single = dataclasses.replace(
+        lane_cfgs[0].params, max_features=12, batch_mode=False, use_pallas=False
+    )
+    params_batch = dataclasses.replace(params_single, batch_mode=True)
+
+    def build(cfg, params, seed):
+        s = st.init_state(params, cfg.xv0, cfg.pxx0)
+        for kf in cfg.known_features:
+            s = st.add_known_feature(s, kf.y, kf.xp_org, read_pgm(kf.patch_path))
+        return s._replace(rng=jnp.asarray(pack_state(srand48(seed))))
+
+    # single-stream reference runs
+    step1 = jax.jit(step_mod.make_step(params_single))
+    singles = []
+    for k in range(LANES):
+        s = build(lane_cfgs[k], params_single, seed=k)
+        outs = []
+        for t in range(1, T + 1):
+            s, o = step1(s, jnp.asarray(lane_frames[k][t], jnp.uint8), True)
+            outs.append(o)
+        singles.append((s, outs))
+
+    # batched run
+    stepb = step_mod.make_step(params_batch)
+    vstep = jax.jit(jax.vmap(stepb, in_axes=(0, 0, None)))
+    states = [build(lane_cfgs[k], params_batch, seed=k) for k in range(LANES)]
+    sb = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *states)
+    bouts = []
+    for t in range(1, T + 1):
+        fb = jnp.stack([jnp.asarray(lane_frames[k][t], jnp.uint8) for k in range(LANES)])
+        sb, ob = vstep(sb, fb, True)
+        bouts.append(ob)
+
+    for k in range(LANES):
+        s_end, outs = singles[k]
+        for t in range(T):
+            for field in ("n_matched", "n_active", "n_partial", "did_init", "did_convert"):
+                a = np.asarray(getattr(outs[t], field))
+                b = np.asarray(getattr(bouts[t], field))[k]
+                assert np.array_equal(a, b), (k, t, field, a, b)
+        np.testing.assert_allclose(
+            np.asarray(sb.x)[k], np.asarray(s_end.x), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(sb.P)[k], np.asarray(s_end.P), atol=1e-12
+        )
+        assert np.array_equal(np.asarray(sb.rng)[k], np.asarray(s_end.rng))
