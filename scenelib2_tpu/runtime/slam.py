@@ -95,13 +95,17 @@ class MonoSLAM:
 
             def scan_fn(s, f, em):
                 # pack per-frame outputs into ONE vector: scan stacking does
-                # one dynamic-update-slice per leaf per frame otherwise
+                # one dynamic-update-slice per leaf per frame otherwise.
+                # unroll=2: the step body is ~100 small ops whose sequencer
+                # overhead dominates; unrolling lets XLA overlap consecutive
+                # frames' op streams (~2-3% device time, negligible compile)
                 carry, flat = jax.lax.scan(
                     lambda s_, fr: (lambda ns, o: (ns, step_mod.pack_outputs(o)))(
                         *step(s_, fr, em)
                     ),
                     s,
                     f,
+                    unroll=2,
                 )
                 return carry, flat
 

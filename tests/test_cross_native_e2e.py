@@ -200,3 +200,55 @@ def test_particle_filter_internals_vs_compiled_reference(dataset):
             np.testing.assert_allclose(ow, p["probs"], atol=1e-12)
             compared += 1
     assert compared >= 5, f"particle comparison barely exercised ({compared})"
+
+
+def test_occlusion_deletion_parity_vs_compiled_reference(tmp_path_factory, lib_ok):
+    """Occlude one known feature so its match rate collapses: the reference's
+    delete_bad_features (monoslam.cpp:644-660, >=10 attempts & <50% success)
+    must fire in both pipelines on the same frame, with identical surviving
+    labels and camera state."""
+    from scenelib2_tpu.eval.synthetic import (
+        KNOWN_POINTS, generate_dataset, project_point,
+    )
+    from scenelib2_tpu.config import load_config
+
+    d = str(tmp_path_factory.mktemp("e2e_occl"))
+    frames, rs, qs, cfg = generate_dataset(d, n_frames=80, seed=13)
+    params = load_config(cfg).params
+    # paint over known feature 0 from frame 3 on (same trick as
+    # test_parity_long.build_scene)
+    frames = frames.copy()
+    for i in range(3, len(frames)):
+        h = project_point(params, KNOWN_POINTS[0], rs[i], qs[i])
+        uu, vv = int(round(h[0])), int(round(h[1]))
+        frames[i, max(0, vv - 16): vv + 16, max(0, uu - 16): uu + 16] = 128
+
+    ref = refslam.RefSlam(cfg)
+    ours = MonoSLAM(cfg)
+    deletion_frame_ref = None
+    for i in range(len(frames)):
+        n_before = ref.n_features
+        ref.go_one_step(frames[i], True, True)
+        ours.go_one_step(frames[i], True, True)
+        labels_ref = sorted(f["label"] for f in ref.features())
+        labels_ours = sorted(f["label"] for f in ours.feature_table())
+        assert labels_ref == labels_ours, (i, labels_ref, labels_ours)
+        if deletion_frame_ref is None and 0 not in labels_ref:
+            deletion_frame_ref = i
+        np.testing.assert_allclose(ours.xv, ref.xv, atol=1e-9)
+    assert deletion_frame_ref is not None, "occluded feature never deleted"
+    assert 0 not in {f["label"] for f in ours.feature_table()}
+
+
+def test_second_scene_parity_vs_compiled_reference(tmp_path_factory, lib_ok):
+    """A different texture/trajectory seed: 100 mapping-enabled frames with
+    identical decisions and float-noise trajectory agreement."""
+    d = str(tmp_path_factory.mktemp("e2e_seed23"))
+    frames, rs, qs, cfg = generate_dataset(d, n_frames=100, seed=23)
+    recs, ref, ours = run_pair(cfg, frames, enable_mapping=True)
+    for r in recs:
+        assert r["ref_matched"] == r["our_matched"], r
+        assert r["ref_nfeat"] == r["our_nfeat"], r
+        assert r["ref_npart"] == r["our_npart"], r
+    max_xv = max(np.abs(r["ref_xv"] - r["our_xv"]).max() for r in recs)
+    assert max_xv < 1e-9, max_xv

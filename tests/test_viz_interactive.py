@@ -70,9 +70,10 @@ def test_render_ar_frame_with_particles(tracked, tmp_path):
     fig, ax = plt.subplots()
     viz.render_ar_frame(ax, frames[t + 1], outs[t], PARAMS.boxsize,
                         (PARAMS.init_search_width, PARAMS.init_search_height))
-    # magenta particle ellipses present among the drawn lines
+    # particle ellipses present among the drawn lines — yellow like the
+    # reference (glColor4f(1,1,0), graphictool.cpp:758)
     colors = {l.get_color() for l in ax.get_lines()}
-    assert "m" in colors, f"no particle ellipses drawn (colors={colors})"
+    assert "yellow" in colors, f"no particle ellipses drawn (colors={colors})"
     p = os.path.join(tmp_path, "ar.png")
     fig.savefig(p)
     plt.close(fig)
