@@ -301,6 +301,9 @@ class MonoSLAM:
     def load_checkpoint(self, path: str) -> None:
         data = np.load(path if path.endswith(".npz") else path + ".npz")
         fields = {k[len("state_"):]: jnp.asarray(v) for k, v in data.items()}
+        # older checkpoints predate the persistent scheduled-for-termination
+        # flag; features saved mid-schedule are vanishingly rare, default off
+        fields.setdefault("sched", jnp.zeros(self.params.max_features, bool))
         self.state = SlamState(**fields)
 
     # --------------------------------------------------------------- misc

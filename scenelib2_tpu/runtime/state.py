@@ -69,6 +69,12 @@ class SlamState(NamedTuple):
     prob: jnp.ndarray           # [MF,NP] f64 particle probabilities
     palive: jnp.ndarray         # [MF,NP] bool particle alive mask
     match_attempts: jnp.ndarray  # [MF] i32 FeatureInitInfo::number_of_match_attempts_
+    # Feature::scheduled_for_termination_flag_ (feature.h:134). Persistent
+    # across frames: the reference's exterminate_features erases from the
+    # vector mid-iteration, so a scheduled feature list-adjacent after a
+    # deleted one is SKIPPED that frame and keeps its flag — it dies on the
+    # next exterminate pass even if its match ratio recovered.
+    sched: jnp.ndarray          # [MF] bool
     # misc
     rng: jnp.ndarray        # [3] u32 16-bit-limb drand48 state
     next_label: jnp.ndarray  # [] i32
@@ -100,6 +106,7 @@ def init_state(params: Params, xv0, pxx0, seed: int = 0) -> SlamState:
         prob=jnp.zeros((MF, NP), jnp.float64),
         palive=jnp.zeros((MF, NP), bool),
         match_attempts=jnp.zeros(MF, jnp.int32),
+        sched=jnp.zeros(MF, bool),
         rng=jnp.asarray(pack_state(srand48(seed))),
         next_label=jnp.int32(0),
         frame_no=jnp.int32(0),
@@ -238,6 +245,7 @@ def add_partial_feature(
         match_attempts=state.match_attempts.at[slot].set(
             sel_row(0, state.match_attempts)
         ),
+        sched=state.sched.at[slot].set(sel_row(False, state.sched)),
         next_label=state.next_label + jnp.where(doit, 1, 0).astype(state.next_label.dtype),
     )
 
@@ -267,6 +275,7 @@ def delete_mask(state: SlamState, kill: jnp.ndarray, zero_xp: bool = True) -> Sl
         successes=jnp.where(kill, 0, state.successes),
         palive=state.palive & ~kill[:, None],
         match_attempts=jnp.where(kill, 0, state.match_attempts),
+        sched=state.sched & ~kill,
     )
 
 

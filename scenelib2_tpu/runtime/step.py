@@ -345,6 +345,23 @@ def make_step(params: Params, dtype=jnp.float64):
             & (attempts >= params.min_attempted_measurements)
             & (ratio < params.successful_match_fraction)
         )
+        # exterminate_features iterator-skip replication: delete_feature's
+        # vector::erase invalidates the already-incremented loop iterator
+        # (monoslam.cpp:663-703), so the feature at the list position right
+        # after a deleted one is SKIPPED that frame. It keeps its persistent
+        # scheduled_for_termination_flag_ (feature.h:134) and dies on a later
+        # pass even if its match ratio recovered. Closed form: in list order
+        # (ascending label among active slots, partials included), within
+        # each maximal run of consecutively-scheduled positions only even
+        # run-offsets die this frame.
+        sched1 = (state.sched | bad) & state.active
+        pos = jnp.arange(MF, dtype=jnp.int32)
+        order = jnp.argsort(jnp.where(state.active, state.label, jnp.int32(1 << 30)))
+        S = sched1[order]
+        run_start = jax.lax.cummax(jnp.where(S, 0, pos + 1))
+        kill_pos = S & ((pos - run_start) % 2 == 0)
+        kill = jnp.zeros(MF, bool).at[order].set(kill_pos)
+        sched_after = sched1 & ~kill
         fast_mode = jnp.zeros((), jnp.float64).dtype == jnp.float32
         fused_update = (
             fast_mode and params.use_pallas and not params.batch_mode and D <= 128
@@ -356,16 +373,17 @@ def make_step(params: Params, dtype=jnp.float64):
             # einsum + R scatter + pad copies below never hit the XLA graph.
             # delete_mask then only flips the per-slot flags.
             keep_dims = jnp.concatenate(
-                [jnp.ones(CAM_DIM, bool), jnp.repeat(~bad, SLOT_DIM)]
+                [jnp.ones(CAM_DIM, bool), jnp.repeat(~kill, SLOT_DIM)]
             )
             x, P = pallas_joint_update_norm_compact(
                 x, P, sel, z_sel, succ, offs.astype(jnp.int32), keep_dims,
                 meas_rows=(pmeas.O_HX, pmeas.O_HY, pmeas.O_RD, pmeas.O_H),
             )
             mid_state = state._replace(
-                x=x, P=P, attempts=attempts, successes=successes
+                x=x, P=P, attempts=attempts, successes=successes,
+                sched=sched_after,
             )
-            mid_state = st.delete_mask(mid_state, bad, zero_xp=False)
+            mid_state = st.delete_mask(mid_state, kill, zero_xp=False)
         else:
             # Scatter the 2x3 feature blocks via a one-hot contraction (a
             # vmapped dynamic_update_slice lowers to a serial while on TPU).
@@ -391,15 +409,16 @@ def make_step(params: Params, dtype=jnp.float64):
             nu_tot = nu_sel.reshape(2 * NSEL)
             if fused_update:
                 keep_dims = jnp.concatenate(
-                    [jnp.ones(CAM_DIM, bool), jnp.repeat(~bad, SLOT_DIM)]
+                    [jnp.ones(CAM_DIM, bool), jnp.repeat(~kill, SLOT_DIM)]
                 )
                 x, P = pallas_joint_update_norm(
                     x, P, H_tot, nu_tot, R_tot, any_succ, keep_dims
                 )
                 mid_state = state._replace(
-                    x=x, P=P, attempts=attempts, successes=successes
+                    x=x, P=P, attempts=attempts, successes=successes,
+                    sched=sched_after,
                 )
-                mid_state = st.delete_mask(mid_state, bad, zero_xp=False)
+                mid_state = st.delete_mask(mid_state, kill, zero_xp=False)
             else:
                 x_upd, P_upd, _ = ekf.joint_update(
                     x, P, H_tot, nu_tot, R_tot, pallas_chol=not params.batch_mode
@@ -408,9 +427,10 @@ def make_step(params: Params, dtype=jnp.float64):
                 x = jnp.where(any_succ, x_upd, x)
                 P = jnp.where(any_succ, P_upd, P)
                 mid_state = state._replace(
-                    x=x, P=P, attempts=attempts, successes=successes
+                    x=x, P=P, attempts=attempts, successes=successes,
+                    sched=sched_after,
                 )
-                mid_state = st.delete_mask(mid_state, bad)
+                mid_state = st.delete_mask(mid_state, kill)
                 mid_state = mid_state._replace(P=ekf.symmetrize(mid_state.P))
         x, P = mid_state.x, mid_state.P
 

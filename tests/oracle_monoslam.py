@@ -189,6 +189,7 @@ class Feat:
     fully: bool
     attempts: int = 0
     successes: int = 0
+    sched: bool = False  # scheduled_for_termination_flag_ (persistent)
     # transient
     h: np.ndarray | None = None
     dh_dxv: np.ndarray | None = None
@@ -447,15 +448,26 @@ class OracleMonoSLAM:
             for f in self.feats:
                 f.pxy = J @ f.pxy
 
-        # delete bad
-        bad = [
-            f
-            for f in self.feats
-            if f.attempts >= p.min_attempted_measurements
-            and f.successes / f.attempts < p.successful_match_fraction
-        ]
-        for f in bad:
-            self.delete_feature(f)
+        # delete bad — replicating the reference's exterminate_features
+        # iterator bug (monoslam.cpp:663-703): delete_feature's vector::erase
+        # invalidates the already-incremented iterator, so the feature right
+        # after a deleted one is SKIPPED this frame; its persistent
+        # scheduled_for_termination_flag_ survives and it dies on a later
+        # pass even if the ratio recovered.
+        for f in self.feats:
+            if (
+                f.attempts >= p.min_attempted_measurements
+                and f.successes / f.attempts < p.successful_match_fraction
+            ):
+                f.sched = True
+        skip = False
+        for f in list(self.feats):
+            if skip:
+                skip = False
+                continue
+            if f.sched:
+                self.delete_feature(f)
+                skip = True
 
         # symmetrize
         P = self.construct_P()

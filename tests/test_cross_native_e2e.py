@@ -252,3 +252,37 @@ def test_second_scene_parity_vs_compiled_reference(tmp_path_factory, lib_ok):
         assert r["ref_npart"] == r["our_npart"], r
     max_xv = max(np.abs(r["ref_xv"] - r["our_xv"]).max() for r in recs)
     assert max_xv < 1e-9, max_xv
+
+
+def test_hires_parity_vs_compiled_reference(tmp_path_factory, lib_ok):
+    """640x480 calibration (the hires bench config) through the REAL C++
+    GoOneStep: the reference searches unbounded ellipses, so this also
+    validates that the framework's static window caps (raised for the 2x
+    pixel density) never clip a decision on this workload."""
+    from scenelib2_tpu.config import Params
+
+    p = Params(
+        cam_width=640, cam_height=480, cam_fku=390.0, cam_fkv=390.0,
+        cam_u0=324.0, cam_v0=250.0, max_features=60,
+        search_win_radius=48, particle_win_radius=52, n_particles=200,
+    )
+    d = str(tmp_path_factory.mktemp("e2e_hires"))
+    frames, rs, qs, cfg = generate_dataset(d, n_frames=80, seed=7, params=p)
+    ref = refslam.RefSlam(cfg)
+    # window caps are framework-only knobs (not stock cfg keys): pass as
+    # overrides so ours runs the same raised-cap hires configuration
+    ours = MonoSLAM(
+        cfg, max_features=60, search_win_radius=48, particle_win_radius=52
+    )
+    n_over = 0
+    for i in range(len(frames)):
+        ref.go_one_step(frames[i], True, True)
+        ours.go_one_step(frames[i], True, True)
+        out = ours.last_output
+        n_over += int(np.asarray(out.n_overflow))
+        assert ref.n_matched == int(np.asarray(out.n_matched)), i
+        assert ref.n_features == int(np.asarray(out.n_active)), i
+        assert ref.n_partial == int(np.asarray(out.n_partial)), i
+        np.testing.assert_allclose(ours.xv, ref.xv, atol=1e-9)
+    assert ref.n_features > 4, "hires mapping never initialised a feature"
+    assert n_over == 0, "window caps clipped a search on the hires workload"
