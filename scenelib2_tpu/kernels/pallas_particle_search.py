@@ -9,13 +9,14 @@ turns into run-every-rung selects — useless there.
 
 This kernel keeps the per-slot score map VMEM-resident (one grid step per
 slot; an outer vmap adds the lane grid dim) and scans, per particle, only an
-(8,128)-aligned sub-block that covers the particle's clamped search window —
-never the whole map. Converged particles take a further in-kernel
-scalar-core branch onto a short block sized to their ellipse rows. Decisions
-are bit-equal to correlate.multi_ellipse_search_dense: the blocks cover
-every candidate the window∧box∧ellipse mask can pass by construction, the
-mask arithmetic is identical, and min / last-tie-key max are
-comparison-based (order-independent). Verified by
+(8,128)-aligned sub-block around the particle's EFFECTIVE region — the
+intersection of its clamped search window and its ellipse bounding box,
+precomputed host-graph-side — never the whole map. An in-kernel scalar-core
+ladder picks the cheapest covering block: (SHORT,128) for converged
+ellipses, (SHORT,BW), then (TALL,BW). Decisions are bit-equal to
+correlate.multi_ellipse_search_dense: every block covers the particle's full
+masked candidate set by construction, the mask arithmetic is identical, and
+min / last-tie-key max are comparison-based (order-independent). Verified by
 tests/test_pallas_particle_search.py.
 
 Reference semantics: SearchMultipleOverlappingEllipses
@@ -37,40 +38,37 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(iref, fref, img_ref, out_ref, *, P, H, W, BH, BW, SH, pad_h, pad_w,
-            win_radius, no_sigma):
-    """iref (SMEM [1,P,8] i32): per-particle 0:uc 1:vc 2:u0 3:v0 4:halfw
-    5:halfh 6:alive. fref (SMEM [1,P,8] f32): 0:a 1:b 2:c (S^-1 entries).
+def _kernel(iref, fref, img_ref, out_ref, *, P, H, BH, BW, SH, pad_h, pad_w,
+            no_sigma):
+    """iref (SMEM [1,P,8] i32): 0:uc 1:vc 2:v_lo 3:v_hi 4:u_lo 5:u_hi
+    6:alive. fref (SMEM [1,P,8] f32): 0:a 1:b 2:c (S^-1 entries).
     img_ref (VMEM [1, pad_h, pad_w] f32): the slot's penalized score map.
     out_ref (VMEM [1, 2, n_rows, 128] f32): [0] = best, [1] = tie key (f32)
     for particle k at (k // 128, k % 128)."""
     n_rows = out_ref.shape[2]
     big = jnp.float32(1e6)
-    side_u = min(2 * win_radius + 1, W)
-    side_v = min(2 * win_radius + 1, H)
 
-    def scan_block(p, v0a, u0a, bh: int):
-        """Masked min + last-tie key over the aligned (bh, BW) block."""
-        sub = img_ref[0, pl.ds(v0a, bh), pl.ds(u0a, BW)]
+    def scan_block(p, v0a, u0a, bh: int, bw: int):
+        """Masked min + last-tie key over the aligned (bh, bw) block."""
+        sub = img_ref[0, pl.ds(v0a, bh), pl.ds(u0a, bw)]
         uc = iref[0, p, 0]
         vc = iref[0, p, 1]
-        u0 = iref[0, p, 2]
-        v0 = iref[0, p, 3]
-        halfw = iref[0, p, 4]
-        halfh = iref[0, p, 5]
+        v_lo = iref[0, p, 2]
+        v_hi = iref[0, p, 3]
+        u_lo = iref[0, p, 4]
+        u_hi = iref[0, p, 5]
         a = fref[0, p, 0]
         b = fref[0, p, 1]
         c = fref[0, p, 2]
-        uu = u0a + jax.lax.broadcasted_iota(jnp.int32, (bh, BW), 1)
-        vv = v0a + jax.lax.broadcasted_iota(jnp.int32, (bh, BW), 0)
+        uu = u0a + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+        vv = v0a + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
         urel = (uu - uc).astype(jnp.float32)
         vrel = (vv - vc).astype(jnp.float32)
-        in_win = (uu >= u0) & (uu < u0 + side_u) & (vv >= v0) & (vv < v0 + side_v)
-        box = (jnp.abs(uu - uc) <= halfw) & (jnp.abs(vv - vc) <= halfh)
+        inb = (uu >= u_lo) & (uu < u_hi) & (vv >= v_lo) & (vv < v_hi)
         ell = (a * urel * urel + 2.0 * b * urel * vrel + c * vrel * vrel) < (
             no_sigma * no_sigma
         )
-        mask = in_win & box & ell
+        mask = inb & ell
         vals = jnp.where(mask, sub, big)
         best = jnp.min(vals)
         key = uu * jnp.int32(H) + vv
@@ -80,30 +78,38 @@ def _kernel(iref, fref, img_ref, out_ref, *, P, H, W, BH, BW, SH, pad_h, pad_w,
 
     def body(p, carry):
         best_rows, key_rows = carry
-        u0 = iref[0, p, 2]
-        v0 = iref[0, p, 3]
-        vc = iref[0, p, 1]
-        halfh = iref[0, p, 5]
-        u0a = (u0 // 128) * 128
-        # short block: the ellipse row range clipped to the window fits SH
-        # rows after 8-align round-down (converged clouds almost always do)
-        v_lo = jnp.maximum(v0, vc - halfh)
-        v_hi = jnp.minimum(v0 + side_v, vc + halfh + 1)
-        v_loa = jnp.clip((v_lo // 8) * 8, 0, pad_h - SH)
-        fits_short = (v_hi - v_loa <= SH) & (v_loa <= v_lo)
+        v_lo = iref[0, p, 2]
+        v_hi = iref[0, p, 3]
+        u_lo = iref[0, p, 4]
+        u_hi = iref[0, p, 5]
+        v_loa_s = jnp.clip((v_lo // 8) * 8, 0, pad_h - SH)
+        v_loa_t = jnp.clip((v_lo // 8) * 8, 0, pad_h - BH)
+        u0a = jnp.clip((u_lo // 128) * 128, 0, pad_w - BW)
+        u0n = jnp.clip((u_lo // 128) * 128, 0, pad_w - 128)
+        fits_v = (v_hi - v_loa_s <= SH) & (v_loa_s <= v_lo)
+        fits_u = (u_hi - u0n <= 128) & (u0n <= u_lo)
+
+        def narrow(_):
+            return scan_block(
+                p, pl.multiple_of(v_loa_s, 8), pl.multiple_of(u0n, 128), SH, 128
+            )
 
         def short_case(_):
             return scan_block(
-                p, pl.multiple_of(v_loa, 8), pl.multiple_of(u0a, 128), SH
+                p, pl.multiple_of(v_loa_s, 8), pl.multiple_of(u0a, 128), SH, BW
             )
 
         def tall_case(_):
-            v0a = jnp.clip((v0 // 8) * 8, 0, pad_h - BH)
             return scan_block(
-                p, pl.multiple_of(v0a, 8), pl.multiple_of(u0a, 128), BH
+                p, pl.multiple_of(v_loa_t, 8), pl.multiple_of(u0a, 128), BH, BW
             )
 
-        best, kbest = jax.lax.cond(fits_short, short_case, tall_case, None)
+        best, kbest = jax.lax.cond(
+            fits_v & fits_u,
+            narrow,
+            lambda _: jax.lax.cond(fits_v, short_case, tall_case, None),
+            None,
+        )
         alive = iref[0, p, 6] != 0
         best = jnp.where(alive, best, big)
         kbest = jnp.where(alive, kbest, -1)
@@ -161,13 +167,22 @@ def pallas_multi_ellipse_search(
     v0 = jnp.clip(vc - win_radius, 0, H - side_v)
     over = (halfwidth > win_radius) | (halfheight > win_radius)
 
-    # block geometry: BH rows cover any clamped window v-range after 8-align
-    # round-down; BW lanes cover any window u-range after 128-align round-down
+    # effective candidate region = window INTERSECT ellipse bounding box;
+    # the dense form's in_win & box mask passes exactly the pixels in
+    # [v_lo,v_hi) x [u_lo,u_hi) (may be empty)
+    v_lo = jnp.maximum(v0, vc - halfheight)
+    v_hi = jnp.minimum(v0 + side_v, vc + halfheight + 1)
+    u_lo = jnp.maximum(u0, uc - halfwidth)
+    u_hi = jnp.minimum(u0 + side_u, uc + halfwidth + 1)
+
+    # block geometry: TALL rows cover any effective v-range after 8-align
+    # round-down (its span <= side_v); BW lanes cover any u-range after
+    # 128-align round-down
     BH = min(_round_up(side_v + 7, 8), _round_up(H, 8))
     SH = min(24, BH)                       # short block for converged rows
-    BW = _round_up(side_u + 127, 128)
+    BW = min(_round_up(side_u + 127, 128), _round_up(W, 128))
     pad_h = max(_round_up(H, 8), BH)
-    u0a_max = ((W - side_u) // 128) * 128
+    u0a_max = max(((W - side_u) // 128) * 128, 0)
     pad_w = max(_round_up(W, 128), u0a_max + BW, BW)
 
     maps = jnp.pad(
@@ -177,7 +192,7 @@ def pallas_multi_ellipse_search(
     )
     zi = jnp.zeros_like(uc)
     iargs = jnp.stack(
-        [uc, vc, u0, v0, halfwidth, halfheight, alive.astype(jnp.int32), zi],
+        [uc, vc, v_lo, v_hi, u_lo, u_hi, alive.astype(jnp.int32), zi],
         axis=-1,
     )                                       # [F,P,8] i32
     zf = jnp.zeros_like(a)
@@ -185,8 +200,8 @@ def pallas_multi_ellipse_search(
 
     n_rows = -(-P // 128)
     kernel = functools.partial(
-        _kernel, P=P, H=H, W=W, BH=BH, BW=BW, SH=SH, pad_h=pad_h, pad_w=pad_w,
-        win_radius=win_radius, no_sigma=no_sigma,
+        _kernel, P=P, H=H, BH=BH, BW=BW, SH=SH, pad_h=pad_h, pad_w=pad_w,
+        no_sigma=no_sigma,
     )
     out = pl.pallas_call(
         kernel,
