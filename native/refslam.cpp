@@ -142,6 +142,19 @@ int rs_partial_info(void *h, int i, int *label, int *match_attempts,
   return n;
 }
 
+// Manual feature initialisation at a picked pixel (the GUI click path:
+// pangolin_util.cpp:57-81 sets uu_/vv_ + location_selected_flag_, the
+// example app then calls InitialiseFeature — monoslam.cpp:1211-1235).
+void rs_initialise_feature(void *h, const unsigned char *img, int rows,
+                           int cols, int uu, int vv) {
+  MonoSLAM *m = static_cast<MonoSLAM *>(h);
+  m->uu_ = uu;
+  m->vv_ = vv;
+  m->location_selected_flag_ = true;
+  cv::Mat frame(rows, cols, CV_8UC1, const_cast<unsigned char *>(img));
+  m->InitialiseFeature(frame.clone());
+}
+
 // Most recent init-feature search region (monoslam.cpp:870-1032).
 int rs_init_search_region(void *h, int *ustart, int *vstart, int *ufinish,
                           int *vfinish) {

@@ -70,6 +70,8 @@ class RefSlam:
             ("rs_partial_info", [ctypes.c_void_p, ctypes.c_int, I32, I32, F64,
                                  F64, F64, F64, ctypes.c_int], ctypes.c_int),
             ("rs_init_search_region", [ctypes.c_void_p, I32, I32, I32, I32], ctypes.c_int),
+            ("rs_initialise_feature", [ctypes.c_void_p, U8, ctypes.c_int,
+                                       ctypes.c_int, ctypes.c_int, ctypes.c_int], None),
         ]:
             fn = getattr(self.lib, name)
             fn.argtypes = argtypes
@@ -97,6 +99,14 @@ class RefSlam:
                 self.h, frame.ctypes.data_as(U8), frame.shape[0], frame.shape[1],
                 int(save_trajectory), int(enable_mapping),
             )
+        )
+
+    def initialise_feature(self, frame: np.ndarray, uu: int, vv: int) -> None:
+        """Manual init at a picked pixel (reference InitialiseFeature)."""
+        frame = np.ascontiguousarray(frame, np.uint8)
+        self.lib.rs_initialise_feature(
+            self.h, frame.ctypes.data_as(U8), frame.shape[0], frame.shape[1],
+            int(uu), int(vv),
         )
 
     # --------------------------------------------------------- introspection

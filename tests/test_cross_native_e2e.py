@@ -286,3 +286,40 @@ def test_hires_parity_vs_compiled_reference(tmp_path_factory, lib_ok):
         np.testing.assert_allclose(ours.xv, ref.xv, atol=1e-9)
     assert ref.n_features > 4, "hires mapping never initialised a feature"
     assert n_over == 0, "window caps clipped a search on the hires workload"
+
+
+def test_manual_init_parity_vs_compiled_reference(dataset):
+    """Manual feature initialisation at a picked pixel (the GUI click path,
+    reference InitialiseFeature monoslam.cpp:1211-1235) inserts the same ray
+    with the same particle distribution and evolves identically."""
+    frames, rs, qs, cfg = dataset
+    ref = refslam.RefSlam(cfg)
+    ours = MonoSLAM(cfg)
+    # a few tracked frames first so the covariance is non-trivial
+    for i in range(5):
+        ref.go_one_step(frames[i], True, False)
+        ours.go_one_step(frames[i], True, False)
+    uu, vv = 240, 90
+    ref.initialise_feature(frames[5], uu, vv)
+    assert ours.initialise_feature(frames[5], uu, vv)
+    assert ref.n_features == 5 and ref.n_partial == 1
+    assert int(np.asarray(ours.state.active.sum())) == 5
+
+    # inserted ray state + particle grid identical
+    rfeat = {f["label"]: f for f in ref.features()}
+    ofeat = {f["label"]: f for f in ours.feature_table()}
+    np.testing.assert_allclose(ofeat[4]["y"], rfeat[4]["y"], atol=1e-12)
+    rp = ref.partials()[0]
+    lam = np.asarray(ours.state.lam)[
+        np.nonzero(np.asarray(ours.state.active) & ~np.asarray(ours.state.full))[0][0]
+    ]
+    np.testing.assert_allclose(lam[: len(rp["lambdas"])], rp["lambdas"], atol=0)
+
+    # continue mapping-off so only the manual feature's lifecycle differs
+    for i in range(6, 40):
+        ref.go_one_step(frames[i], True, False)
+        ours.go_one_step(frames[i], True, False)
+        out = ours.last_output
+        assert ref.n_matched == int(np.asarray(out.n_matched)), i
+        assert ref.n_partial == int(np.asarray(out.n_partial)), i
+        np.testing.assert_allclose(ours.xv, ref.xv, atol=1e-9)
