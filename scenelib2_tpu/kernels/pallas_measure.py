@@ -82,27 +82,23 @@ def _drq_times_a(w, x, y, z, a):
     return [[dR[c][i] for c in range(4)] for i in range(3)]
 
 
-def _measure_kernel(smem_ref, in_ref, out_ref, *, MF, fku, fkv, u0c, v0c, kd1,
-                    sd0, W, H, bnd, max_len_ratio, cos_max_angle):
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    valid = lane < MF
+def _measure_math(r, q4, pxx, y, xp_org_rows, pxy, pyy, act_row, valid, *,
+                  fku, fkv, u0c, v0c, kd1, sd0, W, H, bnd, max_len_ratio,
+                  cos_max_angle):
+    """The whole per-slot measurement-prediction chain on lane vectors.
 
-    def srow(i):
-        return smem_ref[0, i]
-
-    def row(i):
-        return in_ref[i : i + 1, :]                     # [1,128]
-
-    r = [srow(0), srow(1), srow(2)]
-    qw, qx, qy, qz = srow(3), srow(4), srow(5), srow(6)
-    pxx = [[srow(7 + 7 * i + j) for j in range(7)] for i in range(7)]
+    r (3) / q4 (4) / pxx (7x7 nested) are scalar-like (broadcastable against
+    [1,128] lanes); y (3), xp_org_rows (7), pxy ([7][3]), pyy ([3][3]) and
+    act_row are [1,128] per-slot lane rows; valid is the [1,128] slot mask.
+    Returns the [NOUT, 128] stacked result (see the O_* row constants).
+    Shared by the plain measure kernel and the fused predict+measure kernel.
+    """
+    qw, qx, qy, qz = q4
 
     # qRW = conj(q) / |q|^2 (Eigen inverse; q is near-unit, not unit)
     qq = qw * qw + qx * qx + qy * qy + qz * qz
     aw, ax, ay, az = qw / qq, -qx / qq, -qy / qq, -qz / qq
     RRW = _rotmat(aw, ax, ay, az)
-
-    y = [row(ROW_Y + j) for j in range(3)]
     ymr = [y[j] - r[j] for j in range(3)]
     zed = [sum(RRW[i][j] * ymr[j] for j in range(3)) for i in range(3)]
 
@@ -153,9 +149,6 @@ def _measure_kernel(smem_ref, in_ref, out_ref, *, MF, fku, fkv, u0c, v0c, kd1,
     Rd = sd * sd
 
     # S_i = Hx Pxx Hx' + Hx Pxy Hy' + (.)' + Hy Pyy Hy' + R
-    pxy = [[row(ROW_PXY + 3 * a + j) for j in range(3)] for a in range(7)]
-    pyy = [[row(ROW_PYY + 3 * i + j) for j in range(3)] for i in range(3)]
-
     S = [[None, None], [None, None]]
     for b in range(2):
         v_b = [sum(pxx[i][j] * hx[b][j] for j in range(7)) for i in range(7)]
@@ -191,8 +184,8 @@ def _measure_kernel(smem_ref, in_ref, out_ref, *, MF, fku, fkv, u0c, v0c, kd1,
     RWR = _rotmat(qw, qx, qy, qz)
     hLW = [sum(RWR[i][k] * zed[k] for k in range(3)) for i in range(3)]
 
-    ro = [row(ROW_XPO + j) for j in range(3)]
-    qo = [row(ROW_XPO + 3 + j) for j in range(4)]
+    ro = [xp_org_rows[j] for j in range(3)]
+    qo = [xp_org_rows[3 + j] for j in range(4)]
     qqo = qo[0] * qo[0] + qo[1] * qo[1] + qo[2] * qo[2] + qo[3] * qo[3]
     bw, bx, by, bz = qo[0] / qqo, -qo[1] / qqo, -qo[2] / qqo, -qo[3] / qqo
     RRWo = _rotmat(bw, bx, by, bz)
@@ -221,7 +214,7 @@ def _measure_kernel(smem_ref, in_ref, out_ref, *, MF, fku, fkv, u0c, v0c, kd1,
         + fsel(fl_ang, 8.0) + fsel(fl_behind, 16.0)
     )
 
-    act = row(ROW_ACT) > 0.0
+    act = act_row > 0.0
     visible = act & (vis == 0.0) & valid
     score = jnp.where(visible, S00 + S11, jnp.float32(-jnp.inf))
 
@@ -229,7 +222,33 @@ def _measure_kernel(smem_ref, in_ref, out_ref, *, MF, fku, fkv, u0c, v0c, kd1,
     rows += [hx[i][a] for i in range(2) for a in range(7)]
     rows += [hy[i][j] for i in range(2) for j in range(3)]
     rows += [Rd, S00, S01, S11, sinv_a, sinv_b, sinv_c, vis, zed[2], score]
-    out_ref[...] = jnp.concatenate(rows, axis=0)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _measure_kernel(smem_ref, in_ref, out_ref, *, MF, fku, fkv, u0c, v0c, kd1,
+                    sd0, W, H, bnd, max_len_ratio, cos_max_angle):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    valid = lane < MF
+
+    def srow(i):
+        return smem_ref[0, i]
+
+    def row(i):
+        return in_ref[i : i + 1, :]                     # [1,128]
+
+    out_ref[...] = _measure_math(
+        r=[srow(0), srow(1), srow(2)],
+        q4=(srow(3), srow(4), srow(5), srow(6)),
+        pxx=[[srow(7 + 7 * i + j) for j in range(7)] for i in range(7)],
+        y=[row(ROW_Y + j) for j in range(3)],
+        xp_org_rows=[row(ROW_XPO + j) for j in range(7)],
+        pxy=[[row(ROW_PXY + 3 * a + j) for j in range(3)] for a in range(7)],
+        pyy=[[row(ROW_PYY + 3 * i + j) for j in range(3)] for i in range(3)],
+        act_row=row(ROW_ACT),
+        valid=valid,
+        fku=fku, fkv=fkv, u0c=u0c, v0c=v0c, kd1=kd1, sd0=sd0, W=W, H=H,
+        bnd=bnd, max_len_ratio=max_len_ratio, cos_max_angle=cos_max_angle,
+    )
 
 
 @functools.partial(

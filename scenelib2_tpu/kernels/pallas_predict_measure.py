@@ -1,0 +1,281 @@
+"""Fused EKF predict + per-slot measurement prediction as ONE Pallas kernel.
+
+Stage 1 + stage 2 of the step (reference kalman.cpp:50-69 then
+monoslam.cpp:187-308) as a single dispatch. As XLA ops the predict alone is
+~45 dispatches (the quaternion/Jacobian chain of motion_model.cpp:84-217
+plus covariance row/column scatters) and feeding the measurement kernel
+costs another ~15 (slot-block slicing + input-matrix assembly); per-op
+sequencer overhead at D~109 dwarfs the arithmetic. Here:
+
+  predict — x' and P' = F~ P F~' + Q~ with F~ = blockdiag(F, I),
+    Q~ = blockdiag(Q, 0) on one zero-padded 128x128 tile (two MXU dots;
+    multiplying by the exact-identity feature block reproduces those P
+    entries bit-for-bat, so this equals the reference's partial transform
+    Pxx<-F Pxx F'+Q, Pxy<-F Pxy, Pyy untouched). F and Q entries are built
+    from ~30 scalar-core values placed by iota masks.
+  slot extraction — the measurement chain's per-slot inputs (y, pxy7, pyy3)
+    are pulled out of x'/P' IN-KERNEL with constant 0/1 selector masks
+    M_j[d,k] = [d == 13+6k+j]: y_j = x' M_j, C_j = P' M_j gives the pxy
+    rows, and masked sublane sums of C_j give pyy — all exact (0/1
+    contractions), no XLA gather/scatter glue.
+  measure — the shared lane-parallel chain (kernels/pallas_measure.py
+    _measure_math: project/Jacobians/S_i/noise/visibility/score,
+    full_feature_model.cpp:67-195, feature_model.cpp:99-116,
+    camera.cpp:90-300) on the predicted state.
+
+f32 fast mode, single-stream path only (batch mode keeps the separate
+ekf.predict + pallas_measure_predict under the lane vmap); the f64 parity
+path keeps core.ekf / core.motion.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from scenelib2_tpu.kernels.pallas_measure import NOUT, _measure_math
+
+_HI = jax.lax.Precision.HIGHEST
+
+CAM_DIM = 13
+SLOT_DIM = 6
+
+
+def _predict_measure_kernel(smem_ref, x_ref, P_ref, lanes_ref,
+                            meas_ref, ox_ref, oP_ref, *,
+                            D, MF, dt, lin_var, ang_var,
+                            fku, fkv, u0c, v0c, kd1, sd0,
+                            W, H, bnd, max_len_ratio, cos_max_angle):
+    f32 = jnp.float32
+    one = f32(1.0)
+    zero = f32(0.0)
+
+    def s(i):
+        return smem_ref[0, i]
+
+    r0, r1, r2 = s(0), s(1), s(2)
+    qw, qx, qy, qz = s(3), s(4), s(5), s(6)
+    v0, v1, v2 = s(7), s(8), s(9)
+    w0, w1, w2 = s(10), s(11), s(12)
+
+    # ---- fv (motion_model.cpp:84-117; u = 0 on this pipeline) ------------
+    rn0, rn1, rn2 = r0 + v0 * dt, r1 + v1 * dt, r2 + v2 * dt
+    av0, av1, av2 = w0 * dt, w1 * dt, w2 * dt
+    angle = jnp.sqrt(av0 * av0 + av1 * av1 + av2 * av2)
+    ok_a = angle > 0.0
+    safe = jnp.where(ok_a, angle, one)
+    sfac = jnp.where(ok_a, jnp.sin(angle / 2.0) / safe, zero)
+    qt_w = jnp.where(ok_a, jnp.cos(angle / 2.0), one)
+    qt_x, qt_y, qt_z = sfac * av0, sfac * av1, sfac * av2
+    # qnew = q x q(omega dt) (Hamilton, wxyz)
+    qn_w = qw * qt_w - qx * qt_x - qy * qt_y - qz * qt_z
+    qn_x = qw * qt_x + qx * qt_w + qy * qt_z - qz * qt_y
+    qn_y = qw * qt_y - qx * qt_z + qy * qt_w + qz * qt_x
+    qn_z = qw * qt_z + qx * qt_y - qy * qt_x + qz * qt_w
+
+    # ---- dqomegadt_by_domega (motion_model.cpp:290-349, w->0 guarded) ----
+    wmod = jnp.sqrt(w0 * w0 + w1 * w1 + w2 * w2)
+    okw = wmod > 0.0
+    wn = jnp.where(okw, wmod, one)
+    half = dt / 2.0
+    s_ = jnp.sin(wn * half)
+    c_ = jnp.cos(wn * half)
+
+    def dq0_by_dA(wA):
+        return jnp.where(okw, -half * (wA / wn) * s_, zero)
+
+    def dqA_by_dA(wA):
+        val = half * (wA * wA) / (wn * wn) * c_ + (1.0 / wn) * (
+            1.0 - wA * wA / (wn * wn)
+        ) * s_
+        return jnp.where(okw, val, f32(half))
+
+    def dqA_by_dB(wA, wB):
+        return jnp.where(okw, (wA * wB / (wn * wn)) * (half * c_ - (1.0 / wn) * s_), zero)
+
+    dOm = [
+        [dq0_by_dA(w0), dq0_by_dA(w1), dq0_by_dA(w2)],
+        [dqA_by_dA(w0), dqA_by_dB(w0, w1), dqA_by_dB(w0, w2)],
+        [dqA_by_dB(w1, w0), dqA_by_dA(w1), dqA_by_dB(w1, w2)],
+        [dqA_by_dB(w2, w0), dqA_by_dB(w2, w1), dqA_by_dA(w2)],
+    ]
+    # M = dq3_by_dq1(q) @ dOm (the dq/domega block)
+    D1 = [
+        [qw, -qx, -qy, -qz],
+        [qx, qw, -qz, qy],
+        [qy, qz, qw, -qx],
+        [qz, -qy, qx, qw],
+    ]
+    M = [
+        [sum(D1[i][k] * dOm[k][j] for k in range(4)) for j in range(3)]
+        for i in range(4)
+    ]
+
+    rI = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    lI = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+
+    # ---- F~ = blockdiag(dfv_by_dxv, I_features) --------------------------
+    Ft = jnp.where((rI == lI) & (lI < D), one, zero)
+    Ft = jnp.where((rI < 3) & (lI == rI + 7), f32(dt), Ft)
+    # dq3_by_dq2(qwt) block
+    qb = [
+        [qt_w, -qt_x, -qt_y, -qt_z],
+        [qt_x, qt_w, qt_z, -qt_y],
+        [qt_y, -qt_z, qt_w, qt_x],
+        [qt_z, qt_y, -qt_x, qt_w],
+    ]
+    for i in range(4):
+        for j in range(4):
+            Ft = jnp.where((rI == 3 + i) & (lI == 3 + j), qb[i][j], Ft)
+    for i in range(4):
+        for j in range(3):
+            Ft = jnp.where((rI == 3 + i) & (lI == 10 + j), M[i][j], Ft)
+
+    # ---- Q~ = blockdiag(G Pnn G', 0) (motion_model.cpp:148-217) ----------
+    Gm = jnp.where((rI < 3) & (lI == rI), f32(dt), zero)
+    for i in range(4):
+        for j in range(3):
+            Gm = jnp.where((rI == 3 + i) & (lI == 3 + j), M[i][j], Gm)
+    Gm = jnp.where((rI >= 7) & (rI < 10) & (lI == rI - 7), one, Gm)
+    Gm = jnp.where((rI >= 10) & (rI < 13) & (lI == rI - 7), one, Gm)
+    lrow = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    pnn_row = jnp.where(lrow < 3, f32(lin_var), jnp.where(lrow < 6, f32(ang_var), zero))
+    Gp = Gm * pnn_row
+    Qm = jax.lax.dot_general(Gp, Gm, (((1,), (1,)), ((), ())), precision=_HI)
+
+    # ---- P' = F~ P F~' + Q~; x' = fv ++ x[13:] ---------------------------
+    P = P_ref[...]
+    top = jax.lax.dot_general(Ft, P, (((1,), (0,)), ((), ())), precision=_HI)
+    Pn = jax.lax.dot_general(top, Ft, (((1,), (1,)), ((), ())), precision=_HI) + Qm
+    oP_ref[...] = Pn
+
+    xn = x_ref[...]
+    for i, vv in enumerate([rn0, rn1, rn2, qn_w, qn_x, qn_y, qn_z]):
+        xn = jnp.where(lrow == i, vv, xn)
+    ox_ref[...] = xn
+
+    # ---- in-kernel slot extraction (exact 0/1 contractions) --------------
+    Ms = [
+        jnp.where((rI == CAM_DIM + SLOT_DIM * lI + j) & (lI < MF), one, zero)
+        for j in range(3)
+    ]
+    y_rows = [
+        jax.lax.dot_general(xn, Ms[j], (((1,), (0,)), ((), ())), precision=_HI)
+        for j in range(3)
+    ]
+    Cs = [
+        jax.lax.dot_general(Pn, Ms[j], (((1,), (0,)), ((), ())), precision=_HI)
+        for j in range(3)
+    ]
+    pxy = [[Cs[j][a : a + 1, :] for j in range(3)] for a in range(7)]
+    pyy = [
+        [
+            jnp.sum(jnp.where(Ms[i] > 0, Cs[j], zero), axis=0, keepdims=True)
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+    pxx = [[Pn[i : i + 1, j : j + 1] for j in range(7)] for i in range(7)]
+
+    valid = lrow < MF
+    meas_ref[...] = _measure_math(
+        r=[rn0, rn1, rn2],
+        q4=(qn_w, qn_x, qn_y, qn_z),
+        pxx=pxx,
+        y=y_rows,
+        xp_org_rows=[lanes_ref[j : j + 1, :] for j in range(7)],
+        pxy=pxy,
+        pyy=pyy,
+        act_row=lanes_ref[7:8, :],
+        valid=valid,
+        fku=fku, fkv=fkv, u0c=u0c, v0c=v0c, kd1=kd1, sd0=sd0, W=W, H=H,
+        bnd=bnd, max_len_ratio=max_len_ratio, cos_max_angle=cos_max_angle,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dt", "sd_a", "sd_alpha", "cam_static", "sd0",
+                     "image_shape", "boundary", "max_length_ratio",
+                     "max_angle_difference", "interpret"),
+)
+def pallas_predict_measure(
+    x: jnp.ndarray,          # [D] packed state (camera + 6-wide slots)
+    P: jnp.ndarray,          # [D,D]
+    xp_org: jnp.ndarray,     # [MF,7]
+    act_full: jnp.ndarray,   # [MF] bool (active & fully-initialised)
+    dt: float,
+    sd_a: float,
+    sd_alpha: float,
+    cam_static: tuple,       # (fku, fkv, u0, v0, kd1)
+    sd0: float,
+    image_shape=(240, 320),
+    boundary: float = 20.0,
+    max_length_ratio: float = 2.0,
+    max_angle_difference: float = 0.7853981633974483,
+    interpret: bool | None = None,
+):
+    """Returns (meas [NOUT, MF], x' [D], P' [D,D]).
+
+    meas is the pallas_measure row layout (O_* constants) computed on the
+    PREDICTED state; x'/P' are the EKF-predicted state and covariance."""
+    if interpret is None:
+        from scenelib2_tpu.kernels.compat import default_interpret
+
+        interpret = default_interpret()
+    D = x.shape[0]
+    MF = xp_org.shape[0]
+    assert D <= 128, "single-tile kernel: D must fit one lane row"
+    assert MF <= 128
+    f32 = jnp.float32
+
+    xp_pad = jnp.zeros((1, 128), f32).at[0, :D].set(x.astype(f32))
+    Pp = jnp.zeros((128, 128), f32).at[:D, :D].set(P.astype(f32))
+    lanes = jnp.zeros((8, 128), f32)
+    lanes = lanes.at[:7, :MF].set(xp_org.T.astype(f32))
+    lanes = lanes.at[7, :MF].set(act_full.astype(f32))
+    smem = jnp.zeros((1, 16), f32).at[0, :CAM_DIM].set(x[:CAM_DIM].astype(f32))
+
+    lin_var = sd_a * sd_a * dt * dt
+    ang_var = sd_alpha * sd_alpha * dt * dt
+    H, W = image_shape
+    fku, fkv, u0c, v0c, kd1 = cam_static
+
+    kernel = functools.partial(
+        _predict_measure_kernel,
+        D=D, MF=MF, dt=float(dt), lin_var=float(lin_var), ang_var=float(ang_var),
+        fku=fku, fkv=fkv, u0c=u0c, v0c=v0c, kd1=kd1, sd0=sd0,
+        W=float(W), H=float(H), bnd=float(boundary),
+        max_len_ratio=float(max_length_ratio),
+        cos_max_angle=float(math.cos(max_angle_difference)),
+    )
+    meas, ox, oP = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NOUT, 128), f32),
+            jax.ShapeDtypeStruct((1, 128), f32),
+            jax.ShapeDtypeStruct((128, 128), f32),
+        ],
+        interpret=interpret,
+    )(smem, xp_pad, Pp, lanes)
+    return (
+        meas[:, :MF],
+        ox[0, :D].astype(x.dtype),
+        oP[:D, :D].astype(P.dtype),
+    )

@@ -185,28 +185,49 @@ def make_step(params: Params, dtype=jnp.float64):
         enable_mapping = jnp.asarray(enable_mapping, bool)
         prev_r = state.x[0:3]
 
-        # ---- 1. EKF predict -------------------------------------------------
-        u = jnp.zeros(3, dtype)
-        x, P = ekf.predict(state.x, state.P, u, params.delta_t, params.sd_a, params.sd_alpha)
-
-        # ---- 2. predict measurements + select -------------------------------
-        xp = x[:7]
-        ys3 = st.slot_states(x, MF)[:, :3]
-        pxy3 = st.slot_pxy(P, MF)[:, :, :3]
-        pyy3 = st.slot_pyy(P, MF)[:, :3, :3]
-        Pxx = P[:CAM_DIM, :CAM_DIM]
-
+        # ---- 1. EKF predict + 2. predict measurements + select --------------
         fast_kpath = (
             (jnp.zeros((), jnp.float64).dtype == jnp.float32)
             and params.use_pallas
             and (not params.batch_mode or params.batch_pallas)
         )
-        if fast_kpath:
-            # whole per-slot chain (rotation, projection, Jacobians, S_i,
-            # noise, visibility, 2x2 inverse, score) lane-parallel in ONE
+        if fast_kpath and not params.batch_mode:
+            # stages 1+2 fused: EKF predict (blockdiag F~ P F~'+Q~ on one
+            # 128x128 tile) + the whole per-slot measurement chain with slot
+            # blocks extracted in-kernel — ONE dispatch instead of the ~60-op
+            # motion/quaternion/scatter/slice/assembly chain
+            from scenelib2_tpu.kernels import pallas_measure as pmeas
+            from scenelib2_tpu.kernels.pallas_predict_measure import (
+                pallas_predict_measure,
+            )
+
+            meas32, x, P = pallas_predict_measure(
+                state.x, state.P, state.xp_org, state.active & state.full,
+                dt=params.delta_t, sd_a=params.sd_a, sd_alpha=params.sd_alpha,
+                cam_static=(cam.fku, cam.fkv, cam.u0, cam.v0, cam.kd1),
+                sd0=cam.sd, image_shape=(H, W),
+                boundary=params.image_search_boundary,
+                max_length_ratio=params.max_length_ratio,
+                max_angle_difference=params.max_angle_difference,
+            )
+            meas = meas32.astype(dtype)
+            xp = x[:7]
+            Pxx = P[:CAM_DIM, :CAM_DIM]
+        elif fast_kpath:
+            # batch mode (lane vmap): separate XLA predict + lane-parallel
+            # measurement kernel; per-slot chain (rotation, projection,
+            # Jacobians, S_i, noise, visibility, 2x2 inverse, score) in ONE
             # kernel; selection then gathers one [NOUT, NSEL] column block
             from scenelib2_tpu.kernels import pallas_measure as pmeas
 
+            u = jnp.zeros(3, dtype)
+            x, P = ekf.predict(
+                state.x, state.P, u, params.delta_t, params.sd_a, params.sd_alpha
+            )
+            xp = x[:7]
+            pyy3 = st.slot_pyy(P, MF)[:, :3, :3]
+            Pxx = P[:CAM_DIM, :CAM_DIM]
+            ys3 = st.slot_states(x, MF)[:, :3]
             meas = pmeas.pallas_measure_predict(
                 xp, Pxx[:7, :7], ys3, state.xp_org,
                 st.slot_pxy(P, MF)[:, :7, :3], pyy3,
@@ -217,6 +238,9 @@ def make_step(params: Params, dtype=jnp.float64):
                 max_length_ratio=params.max_length_ratio,
                 max_angle_difference=params.max_angle_difference,
             ).astype(dtype)
+        if fast_kpath:
+            from scenelib2_tpu.kernels import pallas_measure as pmeas
+
             visible = state.active & state.full & (meas[pmeas.O_VIS] == 0.0)
             n_visible = jnp.sum(visible).astype(jnp.int32)
             score = meas[pmeas.O_SCORE]
@@ -236,6 +260,16 @@ def make_step(params: Params, dtype=jnp.float64):
                  sel[pmeas.O_SINV + 1], sel[pmeas.O_SINV + 2]], axis=1
             ).reshape(NSEL, 2, 2)
         else:
+            u = jnp.zeros(3, dtype)
+            x, P = ekf.predict(
+                state.x, state.P, u, params.delta_t, params.sd_a, params.sd_alpha
+            )
+            xp = x[:7]
+            ys3 = st.slot_states(x, MF)[:, :3]
+            pxy3 = st.slot_pxy(P, MF)[:, :, :3]
+            pyy3 = st.slot_pyy(P, MF)[:, :3, :3]
+            Pxx = P[:CAM_DIM, :CAM_DIM]
+
             def per_slot(y, pxy_i, pyy_i, xp_org):
                 h, hx7, hy, zeroed = models.full_predict_measurement(cam, y, xp)
                 R = measurement_noise(cam, h)
@@ -833,7 +867,9 @@ def _match_partial_features(state: SlamState, corr_maps,
             )
     else:
         # unrolled python loop over the (tiny, static) partial-slot count so
-        # the union-box lax.cond stays a real cond
+        # the union-box lax.cond stays a real cond. (Routing the aligned-
+        # block Pallas kernel here instead was measured SLOWER single-stream:
+        # 170 vs 149 us/frame — the ladder's conds skip converged work.)
         res = [
             correlate.multi_ellipse_search_unionbox(
                 corr_maps[j], hpi[j], sinv[j], searchable[j],
