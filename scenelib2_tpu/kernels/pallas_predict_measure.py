@@ -38,7 +38,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from scenelib2_tpu.kernels.pallas_measure import NOUT, _measure_math
+from scenelib2_tpu.kernels.pallas_measure import (
+    NOUT,
+    O_SCORE,
+    O_VIS,
+    _measure_math,
+)
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -47,8 +52,8 @@ SLOT_DIM = 6
 
 
 def _predict_measure_kernel(smem_ref, x_ref, P_ref, lanes_ref,
-                            meas_ref, ox_ref, oP_ref, *,
-                            D, MF, dt, lin_var, ang_var,
+                            meas_ref, ox_ref, oP_ref, sel_ref, aux_ref, *,
+                            D, MF, NSEL, MAXP, dt, lin_var, ang_var,
                             fku, fkv, u0c, v0c, kd1, sd0,
                             W, H, bnd, max_len_ratio, cos_max_angle):
     f32 = jnp.float32
@@ -183,7 +188,7 @@ def _predict_measure_kernel(smem_ref, x_ref, P_ref, lanes_ref,
     pxx = [[Pn[i : i + 1, j : j + 1] for j in range(7)] for i in range(7)]
 
     valid = lrow < MF
-    meas_ref[...] = _measure_math(
+    meas = _measure_math(
         r=[rn0, rn1, rn2],
         q4=(qn_w, qn_x, qn_y, qn_z),
         pxx=pxx,
@@ -196,12 +201,93 @@ def _predict_measure_kernel(smem_ref, x_ref, P_ref, lanes_ref,
         fku=fku, fkv=fkv, u0c=u0c, v0c=v0c, kd1=kd1, sd0=sd0, W=W, H=H,
         bnd=bnd, max_len_ratio=max_len_ratio, cos_max_angle=cos_max_angle,
     )
+    meas_ref[...] = meas
+
+    # ---- in-kernel selection (monoslam.cpp:187-254 top-NSEL by score) ----
+    # lax.top_k-equivalent loop: descending, stable (ties -> lowest lane).
+    # Builds a one-hot column matrix so the selected [NOUT, NSEL] block falls
+    # out of ONE dot, replacing the XLA top_k + column gather + per-field
+    # reshape chain (~12 dispatches).
+    score_row = meas[O_SCORE : O_SCORE + 1, :]
+    act_r = lanes_ref[7:8, :]
+    vis_lane = (act_r > 0.0) & (meas[O_VIS : O_VIS + 1, :] == 0.0) & valid
+    n_visible = jnp.sum(
+        jnp.where(vis_lane, jnp.float32(1.0) + zero, zero), axis=1, keepdims=True
+    )
+
+    # rank-based top-NSEL (equals lax.top_k: descending, stable): lane k's
+    # rank = #{k2: s[k2] > s[k]  or  s[k2] == s[k] and k2 < k}, computed from
+    # one pairwise compare matrix — constant op depth instead of an NSEL-
+    # iteration max/argmax loop.
+    # clamp -inf to a finite sentinel FIRST: 0 * -inf = NaN would poison the
+    # transpose/one-hot dots. Monotone, so the ranking is unchanged (-inf
+    # lanes were all tied; the sentinel keeps them tied).
+    work = jnp.where(valid & jnp.isfinite(score_row), score_row, f32(-3e38))
+    lanef = lrow.astype(jnp.float32)
+    eye128 = jnp.where(rI == lI, one, zero)
+    s_col = jax.lax.dot_general(
+        eye128, work, (((1,), (1,)), ((), ())), precision=_HI
+    )                                                        # [128,1]: s[k2]
+    A = jnp.broadcast_to(s_col, (128, 128))                  # A[k2,k] = s[k2]
+    B = jnp.broadcast_to(work, (128, 128))                   # B[k2,k] = s[k]
+    beats = (A > B) | ((A == B) & (rI < lI))
+    rank = jnp.sum(jnp.where(beats, one, zero), axis=0, keepdims=True)  # [1,128]
+    rank_col = jax.lax.dot_general(
+        eye128, rank, (((1,), (1,)), ((), ())), precision=_HI
+    )                                                        # [128,1]: rank[k]
+    Ocols = jnp.where(
+        (jnp.broadcast_to(rank_col, (128, 128)) == lI.astype(f32)) & (lI < NSEL),
+        one, zero,
+    )                                                        # [k, j] one-hot
+    idx_row = jax.lax.dot_general(
+        lanef, Ocols, (((1,), (0,)), ((), ())), precision=_HI
+    )
+    smax_row = jax.lax.dot_general(
+        work, Ocols, (((1,), (0,)), ((), ())), precision=_HI
+    )
+
+    # sanitize non-finite lanes before the one-hot contraction: a NaN/inf at
+    # an UNpicked lane would still poison every output column (NaN * 0)
+    meas_dot = jnp.where(jnp.isfinite(meas) & valid, meas, zero)
+    sel_ref[...] = jax.lax.dot_general(
+        meas_dot, Ocols, (((1,), (0,)), ((), ())), precision=_HI
+    )
+
+    # partial-slot pick (the step's second top_k): first MAXP set lanes of
+    # the active&partial mask, lowest lane first
+    par_r = lanes_ref[8:9, :]
+    pwork = jnp.where(valid & (par_r > 0.0), one, zero)
+    pidx_row = jnp.zeros((1, 128), f32)
+    pval_row = jnp.zeros((1, 128), f32)
+    ptaken = jnp.zeros((1, 128), f32)
+    for j in range(MAXP):
+        pfree = ptaken == 0.0
+        pw = jnp.where(pfree, pwork, zero - one)
+        m = jnp.max(pw, axis=1, keepdims=True)
+        pick = (pw == m) & pfree
+        min_lane = jnp.min(jnp.where(pick, lanef, f32(1e9)), axis=1, keepdims=True)
+        onehot = pick & (lanef == min_lane)
+        pidx_row = pidx_row + jnp.where(lrow == j, min_lane, zero)
+        pval_row = pval_row + jnp.where(lrow == j, m, zero)
+        ptaken = ptaken + jnp.where(onehot, one, zero)
+
+    aux_ref[...] = jnp.concatenate(
+        [
+            idx_row,
+            smax_row,
+            jnp.where(lrow == 0, n_visible, zero),
+            pidx_row,
+            pval_row,
+            jnp.zeros((3, 128), f32),
+        ],
+        axis=0,
+    )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dt", "sd_a", "sd_alpha", "cam_static", "sd0",
-                     "image_shape", "boundary", "max_length_ratio",
+    static_argnames=("nsel", "maxp", "dt", "sd_a", "sd_alpha", "cam_static",
+                     "sd0", "image_shape", "boundary", "max_length_ratio",
                      "max_angle_difference", "interpret"),
 )
 def pallas_predict_measure(
@@ -209,6 +295,9 @@ def pallas_predict_measure(
     P: jnp.ndarray,          # [D,D]
     xp_org: jnp.ndarray,     # [MF,7]
     act_full: jnp.ndarray,   # [MF] bool (active & fully-initialised)
+    act_part: jnp.ndarray,   # [MF] bool (active & partial)
+    nsel: int,
+    maxp: int,
     dt: float,
     sd_a: float,
     sd_alpha: float,
@@ -220,10 +309,13 @@ def pallas_predict_measure(
     max_angle_difference: float = 0.7853981633974483,
     interpret: bool | None = None,
 ):
-    """Returns (meas [NOUT, MF], x' [D], P' [D,D]).
+    """Returns (meas [NOUT, MF], sel [NOUT, nsel], x' [D], P' [D,D],
+    top_idx [nsel] i32, top_score [nsel], n_visible [] i32,
+    pidx [maxp] i32, pmask [maxp] bool).
 
     meas is the pallas_measure row layout (O_* constants) computed on the
-    PREDICTED state; x'/P' are the EKF-predicted state and covariance."""
+    PREDICTED state; sel is its top-nsel column block by selection score
+    (lax.top_k order); x'/P' are the EKF-predicted state and covariance."""
     if interpret is None:
         from scenelib2_tpu.kernels.compat import default_interpret
 
@@ -236,9 +328,10 @@ def pallas_predict_measure(
 
     xp_pad = jnp.zeros((1, 128), f32).at[0, :D].set(x.astype(f32))
     Pp = jnp.zeros((128, 128), f32).at[:D, :D].set(P.astype(f32))
-    lanes = jnp.zeros((8, 128), f32)
+    lanes = jnp.zeros((16, 128), f32)
     lanes = lanes.at[:7, :MF].set(xp_org.T.astype(f32))
     lanes = lanes.at[7, :MF].set(act_full.astype(f32))
+    lanes = lanes.at[8, :MF].set(act_part.astype(f32))
     smem = jnp.zeros((1, 16), f32).at[0, :CAM_DIM].set(x[:CAM_DIM].astype(f32))
 
     lin_var = sd_a * sd_a * dt * dt
@@ -248,13 +341,14 @@ def pallas_predict_measure(
 
     kernel = functools.partial(
         _predict_measure_kernel,
-        D=D, MF=MF, dt=float(dt), lin_var=float(lin_var), ang_var=float(ang_var),
+        D=D, MF=MF, NSEL=int(nsel), MAXP=int(maxp),
+        dt=float(dt), lin_var=float(lin_var), ang_var=float(ang_var),
         fku=fku, fkv=fkv, u0c=u0c, v0c=v0c, kd1=kd1, sd0=sd0,
         W=float(W), H=float(H), bnd=float(boundary),
         max_len_ratio=float(max_length_ratio),
         cos_max_angle=float(math.cos(max_angle_difference)),
     )
-    meas, ox, oP = pl.pallas_call(
+    meas, ox, oP, sel, aux = pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -266,16 +360,26 @@ def pallas_predict_measure(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((NOUT, 128), f32),
             jax.ShapeDtypeStruct((1, 128), f32),
             jax.ShapeDtypeStruct((128, 128), f32),
+            jax.ShapeDtypeStruct((NOUT, 128), f32),
+            jax.ShapeDtypeStruct((8, 128), f32),
         ],
         interpret=interpret,
     )(smem, xp_pad, Pp, lanes)
     return (
         meas[:, :MF],
+        sel[:, :nsel],
         ox[0, :D].astype(x.dtype),
         oP[:D, :D].astype(P.dtype),
+        aux[0, :nsel].astype(jnp.int32),
+        aux[1, :nsel],
+        aux[2, 0].astype(jnp.int32),
+        aux[3, :maxp].astype(jnp.int32),
+        aux[4, :maxp] > 0.0,
     )

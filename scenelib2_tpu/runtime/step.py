@@ -191,18 +191,23 @@ def make_step(params: Params, dtype=jnp.float64):
             and params.use_pallas
             and (not params.batch_mode or params.batch_pallas)
         )
-        if fast_kpath and not params.batch_mode:
+        MAXP = max(1, params.max_features_to_init_at_once)
+        fused_pm = fast_kpath and not params.batch_mode
+        if fused_pm:
             # stages 1+2 fused: EKF predict (blockdiag F~ P F~'+Q~ on one
             # 128x128 tile) + the whole per-slot measurement chain with slot
-            # blocks extracted in-kernel — ONE dispatch instead of the ~60-op
-            # motion/quaternion/scatter/slice/assembly chain
+            # blocks extracted in-kernel + top-NSEL selection and the
+            # partial-slot pick — ONE dispatch instead of the ~70-op
+            # motion/quaternion/scatter/slice/top_k/gather chain
             from scenelib2_tpu.kernels import pallas_measure as pmeas
             from scenelib2_tpu.kernels.pallas_predict_measure import (
                 pallas_predict_measure,
             )
 
-            meas32, x, P = pallas_predict_measure(
+            (meas32, sel32, x, P, top_idx, top_score, n_visible,
+             pidx, pmask) = pallas_predict_measure(
                 state.x, state.P, state.xp_org, state.active & state.full,
+                state.active & ~state.full, nsel=NSEL, maxp=MAXP,
                 dt=params.delta_t, sd_a=params.sd_a, sd_alpha=params.sd_alpha,
                 cam_static=(cam.fku, cam.fkv, cam.u0, cam.v0, cam.kd1),
                 sd0=cam.sd, image_shape=(H, W),
@@ -211,6 +216,22 @@ def make_step(params: Params, dtype=jnp.float64):
                 max_angle_difference=params.max_angle_difference,
             )
             meas = meas32.astype(dtype)
+            sel = sel32.astype(dtype)
+            # a pick is real iff its rank is below the visible count (the
+            # kernel clamps -inf scores to -3e38 for the one-hot contraction)
+            sel_mask = jnp.arange(NSEL, dtype=jnp.int32) < n_visible
+            h_sel = sel[pmeas.O_H : pmeas.O_H + 2].T
+            hx_sel = sel[pmeas.O_HX : pmeas.O_HX + 14].T.reshape(NSEL, 2, 7)
+            hy_sel = sel[pmeas.O_HY : pmeas.O_HY + 6].T.reshape(NSEL, 2, 3)
+            Rd_sel = sel[pmeas.O_RD]
+            S_sel = jnp.stack(
+                [sel[pmeas.O_S], sel[pmeas.O_S + 1],
+                 sel[pmeas.O_S + 1], sel[pmeas.O_S + 2]], axis=1
+            ).reshape(NSEL, 2, 2)
+            sinv_sel = jnp.stack(
+                [sel[pmeas.O_SINV], sel[pmeas.O_SINV + 1],
+                 sel[pmeas.O_SINV + 1], sel[pmeas.O_SINV + 2]], axis=1
+            ).reshape(NSEL, 2, 2)
             xp = x[:7]
             Pxx = P[:CAM_DIM, :CAM_DIM]
         elif fast_kpath:
@@ -238,9 +259,6 @@ def make_step(params: Params, dtype=jnp.float64):
                 max_length_ratio=params.max_length_ratio,
                 max_angle_difference=params.max_angle_difference,
             ).astype(dtype)
-        if fast_kpath:
-            from scenelib2_tpu.kernels import pallas_measure as pmeas
-
             visible = state.active & state.full & (meas[pmeas.O_VIS] == 0.0)
             n_visible = jnp.sum(visible).astype(jnp.int32)
             score = meas[pmeas.O_SCORE]
@@ -305,9 +323,11 @@ def make_step(params: Params, dtype=jnp.float64):
         # need full-image maps (their particle clouds span wide regions).
         # Partials are identified up front; a feature initialised later this
         # frame is never searched on its first frame (monoslam.cpp:1366).
-        MAXP = max(1, params.max_features_to_init_at_once)
-        pvals, pidx = lax.top_k((state.active & ~state.full).astype(jnp.int32), MAXP)
-        pmask = pvals > 0
+        if not fused_pm:
+            pvals, pidx = lax.top_k(
+                (state.active & ~state.full).astype(jnp.int32), MAXP
+            )
+            pmask = pvals > 0
         u0_sel, v0_sel, _, _ = correlate.search_window_origin(
             h_sel, params.search_win_radius, W, H, B, round_half=True
         )

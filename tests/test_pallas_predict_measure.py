@@ -80,9 +80,10 @@ def test_predict_measure_matches_xla_chain(rng):
         jnp.asarray(ys), pxy3, pyy3, jnp.asarray(xpo)
     )
 
-    meas, x_k, P_k = pallas_predict_measure(
+    meas, sel, x_k, P_k, top_idx, top_score, n_vis, pidx, pmask = pallas_predict_measure(
         jnp.asarray(x, jnp.float32), jnp.asarray(P, jnp.float32),
-        jnp.asarray(xpo), jnp.asarray(act),
+        jnp.asarray(xpo), jnp.asarray(act), jnp.zeros(act.shape, bool),
+        nsel=params.n_features_to_select, maxp=1,
         dt=params.delta_t, sd_a=params.sd_a, sd_alpha=params.sd_alpha,
         cam_static=(cam.fku, cam.fkv, cam.u0, cam.v0, cam.kd1),
         sd0=cam.sd, image_shape=(cam.height, cam.width),
@@ -125,6 +126,28 @@ def test_predict_measure_matches_xla_chain(rng):
     fin = ~np.isneginf(want_score)
     np.testing.assert_allclose(got[fin], want_score[fin], rtol=2e-3)
 
+    # in-kernel selection must equal lax.top_k on the kernel's own score row
+    # (the kernel works on the -inf-padded 128-lane row, like the step does
+    # on score[MF] with MF >= NSEL; pad the reference the same way)
+    NSEL = params.n_features_to_select
+    got_pad = np.full(128, -np.inf, np.float32)
+    got_pad[:MF] = got
+    ts_ref, ti_ref = jax.lax.top_k(jnp.asarray(got_pad), NSEL)
+    np.testing.assert_array_equal(np.asarray(top_idx), np.asarray(ti_ref))
+    live0 = ~np.isneginf(np.asarray(ts_ref))
+    np.testing.assert_array_equal(
+        np.asarray(top_score)[live0], np.asarray(ts_ref)[live0]
+    )
+    # sel content is only meaningful where the pick is real (top_score
+    # finite); garbage columns are masked by sel_mask downstream
+    live = ~np.isneginf(np.asarray(ts_ref))
+    np.testing.assert_array_equal(
+        np.asarray(sel)[:, live], meas[:, np.asarray(ti_ref)[live]]
+    )
+    assert int(n_vis) == int((act & (np.asarray(vis_a) == 0)).sum())
+    # no partial slots in this scene
+    assert not bool(np.asarray(pmask)[0])
+
 
 def test_predict_measure_zero_omega_guard(rng):
     """The omega->0 guarded limit must match motion.func_fv_and_dfv_by_dxv."""
@@ -134,9 +157,10 @@ def test_predict_measure_zero_omega_guard(rng):
         jnp.asarray(x), jnp.asarray(P), jnp.zeros(3), params.delta_t,
         params.sd_a, params.sd_alpha,
     )
-    _, x_k, P_k = pallas_predict_measure(
+    _, _, x_k, P_k, _, _, _, _, _ = pallas_predict_measure(
         jnp.asarray(x, jnp.float32), jnp.asarray(P, jnp.float32),
-        jnp.asarray(xpo), jnp.asarray(act),
+        jnp.asarray(xpo), jnp.asarray(act), jnp.zeros(act.shape, bool),
+        nsel=params.n_features_to_select, maxp=1,
         dt=params.delta_t, sd_a=params.sd_a, sd_alpha=params.sd_alpha,
         cam_static=(cam.fku, cam.fkv, cam.u0, cam.v0, cam.kd1),
         sd0=cam.sd, image_shape=(cam.height, cam.width),
