@@ -192,7 +192,13 @@ def make_step(params: Params, dtype=jnp.float64):
             and (not params.batch_mode or params.batch_pallas)
         )
         MAXP = max(1, params.max_features_to_init_at_once)
-        fused_pm = fast_kpath and not params.batch_mode
+        # the fused kernel works on one zero-padded 128x128 tile; larger
+        # maps (hires/stress configs) keep the split predict + measure path
+        fused_pm = (
+            fast_kpath
+            and not params.batch_mode
+            and CAM_DIM + SLOT_DIM * MF <= 128
+        )
         if fused_pm:
             # stages 1+2 fused: EKF predict (blockdiag F~ P F~'+Q~ on one
             # 128x128 tile) + the whole per-slot measurement chain with slot
@@ -235,10 +241,11 @@ def make_step(params: Params, dtype=jnp.float64):
             xp = x[:7]
             Pxx = P[:CAM_DIM, :CAM_DIM]
         elif fast_kpath:
-            # batch mode (lane vmap): separate XLA predict + lane-parallel
-            # measurement kernel; per-slot chain (rotation, projection,
-            # Jacobians, S_i, noise, visibility, 2x2 inverse, score) in ONE
-            # kernel; selection then gathers one [NOUT, NSEL] column block
+            # batch mode (lane vmap) and large-D single-stream: separate XLA
+            # predict + lane-parallel measurement kernel; per-slot chain
+            # (rotation, projection, Jacobians, S_i, noise, visibility, 2x2
+            # inverse, score) in ONE kernel; selection then gathers one
+            # [NOUT, NSEL] column block
             from scenelib2_tpu.kernels import pallas_measure as pmeas
 
             u = jnp.zeros(3, dtype)
