@@ -150,9 +150,9 @@ def pallas_bayes_update(
     found: jnp.ndarray,           # [F,NP] bool
     p_over: jnp.ndarray,          # [F,NP] bool
     z: jnp.ndarray,               # [F,NP,2]
-    hpi: jnp.ndarray,             # [F,NP,2]
-    sinv: jnp.ndarray,            # [F,NP,2,2]
-    dets: jnp.ndarray,            # [F,NP]
+    hpi: jnp.ndarray,             # [F,NP,2] (ignored when pred_rows given)
+    sinv: jnp.ndarray,            # [F,NP,2,2] (ignored when pred_rows given)
+    dets: jnp.ndarray,            # [F,NP] (ignored when pred_rows given)
     making: jnp.ndarray,          # [F] bool
     pmask: jnp.ndarray,           # [F] bool
     match_attempts: jnp.ndarray,  # [F] i32 (already incremented this frame)
@@ -161,6 +161,12 @@ def pallas_bayes_update(
     min_particles: int = 20,
     erase_partial_after_attempts: int = 10,
     interpret: bool | None = None,
+    pred_rows: jnp.ndarray | None = None,  # [F,8,NP_pad] raw particle-predict
+                                           # kernel output (HU,HV,S00,S01,
+                                           # S11,DET,HW,HH) — its first six
+                                           # rows ARE this kernel's
+                                           # _HU.._DET layout, so it concats
+                                           # straight in with no re-padding
 ):
     """Returns (prob_f [F,NP], palive_f [F,NP] bool, mean [F], cov [F],
     convert [F] bool, all_zero_kill... kill [F] bool, n_over [F] i32)."""
@@ -174,15 +180,32 @@ def pallas_bayes_update(
     def pad(x):
         return jnp.pad(x.astype(jnp.float32), ((0, 0), (0, NP_pad - NP)))
 
-    rows = jnp.stack(
+    head = jnp.stack(
         [
             pad(prob), pad(lam), pad(palive), pad(found), pad(p_over),
-            pad(z[..., 0]), pad(z[..., 1]), pad(hpi[..., 0]), pad(hpi[..., 1]),
-            pad(sinv[..., 0, 0]), pad(sinv[..., 0, 1]), pad(sinv[..., 1, 1]),
-            pad(dets),
+            pad(z[..., 0]), pad(z[..., 1]),
         ],
         axis=1,
-    )                                                  # [F, 13, NP_pad]
+    )                                                  # [F, 7, NP_pad]
+    if pred_rows is not None:
+        assert pred_rows.shape[1:] == (8, NP_pad), pred_rows.shape
+        rows = jnp.concatenate([head, pred_rows.astype(jnp.float32)], axis=1)
+    else:
+        rows = jnp.concatenate(
+            [
+                head,
+                jnp.stack(
+                    [
+                        pad(hpi[..., 0]), pad(hpi[..., 1]),
+                        pad(sinv[..., 0, 0]), pad(sinv[..., 0, 1]),
+                        pad(sinv[..., 1, 1]), pad(dets),
+                    ],
+                    axis=1,
+                ),
+            ],
+            axis=1,
+        )                                              # [F, 13, NP_pad]
+    nrows_in = rows.shape[1]
     smem = jnp.zeros((F, 1, 128), jnp.float32)
     smem = smem.at[:, 0, 0].set(making.astype(jnp.float32))
     smem = smem.at[:, 0, 1].set(pmask.astype(jnp.float32))
@@ -200,7 +223,7 @@ def pallas_bayes_update(
         grid=(F,),
         in_specs=[
             pl.BlockSpec((1, 1, 128), lambda f: (f, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _NROWS, NP_pad), lambda f: (f, 0, 0)),
+            pl.BlockSpec((1, nrows_in, NP_pad), lambda f: (f, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 8, NP_pad), lambda f: (f, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((F, 8, NP_pad), jnp.float32),

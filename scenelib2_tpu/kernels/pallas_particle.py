@@ -374,7 +374,8 @@ def _predict_geom_kernel(shared_ref, slot_ref, lam_ref, out_ref, *, NP_pad,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fku", "fkv", "u0c", "v0c", "kd1", "sd0", "no_sigma", "interpret"),
+    static_argnames=("fku", "fkv", "u0c", "v0c", "kd1", "sd0", "no_sigma",
+                     "interpret", "return_raw"),
 )
 def pallas_particle_predict_fused(
     ys6: jnp.ndarray,       # [F, 6] raw ray slot states
@@ -391,6 +392,7 @@ def pallas_particle_predict_fused(
     sd0: float = 1.0,
     no_sigma: float = 3.0,
     interpret: bool | None = None,
+    return_raw: bool = False,
 ):
     """pallas_particle_predict with the slot geometry fused in-kernel.
 
@@ -442,9 +444,14 @@ def pallas_particle_predict_fused(
         interpret=interpret,
     )(shared, slot, lam_p)
 
+    raw = out
     out = out[:, :, :NP]
     hpi = jnp.stack([out[:, ROW_HU], out[:, ROW_HV]], axis=-1)
     sinv = jnp.stack(
         [out[:, ROW_S00], out[:, ROW_S01], out[:, ROW_S01], out[:, ROW_S11]], axis=-1
     ).reshape(F, NP, 2, 2)
+    if return_raw:
+        # the padded [F,8,NP_pad] rows feed pallas_bayes_update's pred_rows
+        # input verbatim (no re-pad/re-stack)
+        return hpi, sinv, out[:, ROW_DET], out[:, ROW_HW], out[:, ROW_HH], raw
     return hpi, sinv, out[:, ROW_DET], out[:, ROW_HW], out[:, ROW_HH]

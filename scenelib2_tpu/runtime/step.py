@@ -823,13 +823,16 @@ def _match_partial_features(state: SlamState, corr_maps,
             hpi, sinv, dets = jax.vmap(kform_slot)(
                 zeroed_c, K0c, Ksymc, K2c, lam_c
             )
+            pred_raw = None
         else:
             # slot geometry fused into the kernel prologue: the quaternion /
-            # N / K-form chain is ~30 tiny XLA dispatches otherwise
-            hpi, sinv, dets, _, _ = pallas_particle_predict_fused(
+            # N / K-form chain is ~30 tiny XLA dispatches otherwise; the raw
+            # padded rows feed pallas_bayes_update directly (no re-stack)
+            hpi, sinv, dets, _, _, pred_raw = pallas_particle_predict_fused(
                 ys6, pxy6, pyy6, xp, Pxx7, lam_c,
                 fku=cam.fku, fkv=cam.fkv, u0c=cam.u0, v0c=cam.v0,
                 kd1=cam.kd1, sd0=cam.sd, no_sigma=params.no_sigma,
+                return_raw=True,
             )
     else:
 
@@ -854,6 +857,7 @@ def _match_partial_features(state: SlamState, corr_maps,
             return jax.vmap(per_particle)(lam_row)
 
         hpi, sinv, dets = jax.vmap(per_slot)(ys6, pxy6, pyy6, lam_c)
+        pred_raw = None
     # hpi [MAXP,NP,2], sinv [MAXP,NP,2,2], dets [MAXP,NP]
 
     # the shared penalized score map per patch (the reference's correlation
@@ -926,6 +930,7 @@ def _match_partial_features(state: SlamState, corr_maps,
             pallas_bayes_update(
                 prob_c, lam_c, palive_c, found, p_over, z, hpi, sinv, dets,
                 making, pmask, match_attempts[pidx],
+                pred_rows=pred_raw,
                 prune_prob_thresh=params.prune_prob_thresh,
                 sd_depth_ratio=params.sd_depth_ratio,
                 min_particles=params.min_particles,

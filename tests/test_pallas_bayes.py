@@ -102,3 +102,32 @@ def test_bayes_kernel_all_zero_likelihood(rng):
     )
     assert bool(got[5][0]) and bool(want[5][0])        # kill
     assert not bool(got[4][0])                          # no convert
+
+
+def test_bayes_kernel_pred_rows_input_equivalent(rng):
+    """The pred_rows fast path (raw particle-predict kernel rows passed
+    verbatim) must produce identical results to the unpacked-argument
+    form."""
+    args = _scenario(rng)
+    prob, lam, palive, found, p_over, z, hpi, sinv, dets, making, pmask, ma = args
+    F, NP = prob.shape
+    NP_pad = max(((NP + 127) // 128) * 128, 128)
+    raw = np.zeros((F, 8, NP_pad), np.float32)
+    raw[:, 0, :NP] = hpi[..., 0]
+    raw[:, 1, :NP] = hpi[..., 1]
+    raw[:, 2, :NP] = sinv[..., 0, 0]
+    raw[:, 3, :NP] = sinv[..., 0, 1]
+    raw[:, 4, :NP] = sinv[..., 1, 1]
+    raw[:, 5, :NP] = dets
+    # finite garbage in the padding lanes (the real kernel pads with lam=1
+    # results, not zeros) — outputs must not depend on them
+    raw[:, :, NP:] = 7.25
+
+    kw = dict(prune_prob_thresh=0.05, sd_depth_ratio=0.3, min_particles=4,
+              erase_partial_after_attempts=10, interpret=True)
+    base = pallas_bayes_update(*[jnp.asarray(a) for a in args], **kw)
+    fast = pallas_bayes_update(
+        *[jnp.asarray(a) for a in args], pred_rows=jnp.asarray(raw), **kw
+    )
+    for b, f in zip(base, fast):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(f))
