@@ -121,19 +121,29 @@ def render_frame(params: Params, tex: np.ndarray, r: np.ndarray, q: np.ndarray,
     cu = u - params.cam_u0
     cv = v - params.cam_v0
     r2 = cu * cu + cv * cv
-    factor = np.sqrt(1.0 - 2.0 * params.cam_kd1 * r2)
-    und_u = cu / factor
-    und_v = cv / factor
+    # beyond the distortion model's valid radius (1 - 2*kd1*r2 <= 0, reachable
+    # at hires calibrations) the pixel unprojects nowhere: mask it instead of
+    # letting NaNs flow into the int cast below (they were rejected by `inb`
+    # only via NumPy's NaN->INT_MIN cast behaviour, with RuntimeWarnings)
+    arg = 1.0 - 2.0 * params.cam_kd1 * r2
+    dist_ok = arg > 0
+    factor = np.sqrt(np.where(dist_ok, arg, 1.0))
+    und_u = np.where(dist_ok, cu / factor, 0.0)
+    und_v = np.where(dist_ok, cv / factor, 0.0)
     d_cam = np.stack([und_u / -params.cam_fku, und_v / -params.cam_fkv, np.ones_like(und_u)], -1)
     R = quat_to_R(q)
     d_world = d_cam @ R.T
-    tz = -r[2] / d_world[..., 2]
-    hit = (d_world[..., 2] != 0) & (tz > 0)
+    dz = d_world[..., 2]
+    ray_ok = dist_ok & (dz != 0)
+    tz = np.where(ray_ok, -r[2] / np.where(dz != 0, dz, 1.0), -1.0)
+    hit = ray_ok & (tz > 0)
     px = r[0] + tz * d_world[..., 0]
     py = r[1] + tz * d_world[..., 1]
-    # texture centred on world origin
-    tx = px / tex_scale + tex.shape[1] / 2.0
-    ty = py / tex_scale + tex.shape[0] / 2.0
+    # texture centred on world origin; masked where the ray misses so the
+    # floor/int cast below stays warning-clean (pixel values are unchanged:
+    # hit gates inb either way)
+    tx = np.where(hit, px / tex_scale + tex.shape[1] / 2.0, 0.0)
+    ty = np.where(hit, py / tex_scale + tex.shape[0] / 2.0, 0.0)
     x0 = np.floor(tx).astype(int)
     y0 = np.floor(ty).astype(int)
     inb = hit & (x0 >= 0) & (x0 < tex.shape[1] - 1) & (y0 >= 0) & (y0 < tex.shape[0] - 1)

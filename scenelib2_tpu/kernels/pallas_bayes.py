@@ -27,7 +27,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-# input row layout ([F, 13, NP_pad])
+# input row layout ([F, 13, NP_pad]); when fed pred_rows (the raw
+# particle-predict kernel output) the block is [F, 15, NP_pad] with rows
+# 13-14 = HW, HH window half-sizes, which this kernel ignores
 (_PROB, _LAM, _ALIVE, _FOUND, _OVER, _ZU, _ZV, _HU, _HV,
  _S00, _S01, _S11, _DET) = range(13)
 _NROWS = 13
@@ -42,8 +44,9 @@ def _bayes_kernel(smem_ref, in_ref, out_ref, *, NP, NP_pad,
                   prune_prob_thresh, sd_depth_ratio, min_particles,
                   erase_partial_after_attempts):
     """smem_ref (SMEM [1,1,128]): lane 0 = making, 1 = pmask,
-    2 = match_attempts (post-increment). in_ref (VMEM [1,13,NP_pad]).
-    out_ref (VMEM [1,8,NP_pad])."""
+    2 = match_attempts (post-increment). in_ref (VMEM [1,13,NP_pad]; or
+    [1,15,NP_pad] in the pred_rows form, whose trailing HW/HH rows are
+    unused here). out_ref (VMEM [1,8,NP_pad])."""
     # Mosaic cannot legalize selects with scalar predicates/operands on the
     # vector path, so every scalar (SMEM params, lane reductions) is
     # broadcast to an [NP_pad] vector before use.

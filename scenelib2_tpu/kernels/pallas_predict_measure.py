@@ -157,6 +157,15 @@ def _predict_measure_kernel(smem_ref, x_ref, P_ref, lanes_ref,
     P = P_ref[...]
     top = jax.lax.dot_general(Ft, P, (((1,), (0,)), ((), ())), precision=_HI)
     Pn = jax.lax.dot_general(top, Ft, (((1,), (1,)), ((), ())), precision=_HI) + Qm
+    # explicit symmetrization, mirroring ekf.predict's P[:, :CAM_DIM] = top.T
+    # (ekf.py:43-45): P' here is two MXU dots, so Pxy/Pyx agree only up to
+    # dot determinism. Transpose via an exact 0/1 identity contraction and
+    # average — where Pn[i,j] == Pn[j,i] already, 0.5*(x+x) = x bit-for-bit
+    # (the symmetric feature block passes through unchanged); only ULP
+    # asymmetry in the fresh camera rows/cols is removed.
+    eyeT = jnp.where(rI == lI, one, zero)
+    PnT = jax.lax.dot_general(eyeT, Pn, (((1,), (1,)), ((), ())), precision=_HI)
+    Pn = f32(0.5) * (Pn + PnT)
     oP_ref[...] = Pn
 
     xn = x_ref[...]

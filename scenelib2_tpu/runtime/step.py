@@ -223,9 +223,17 @@ def make_step(params: Params, dtype=jnp.float64):
             )
             meas = meas32.astype(dtype)
             sel = sel32.astype(dtype)
-            # a pick is real iff its rank is below the visible count (the
-            # kernel clamps -inf scores to -3e38 for the one-hot contraction)
-            sel_mask = jnp.arange(NSEL, dtype=jnp.int32) < n_visible
+            # a pick is real iff its rank is below the visible count AND its
+            # score survived the kernel's clamp (the kernel maps -inf AND any
+            # non-finite score to exactly -3e38 for the one-hot contraction;
+            # without the second clause a visible slot with degenerate S —
+            # NaN score — would be demoted by the in-kernel ranking while
+            # n_visible still counts it, letting a sanitized garbage column
+            # pass as a real pick). n_visible itself stays the raw visible
+            # count: it feeds the auto-init gate with reference semantics.
+            sel_mask = (
+                jnp.arange(NSEL, dtype=jnp.int32) < n_visible
+            ) & (top_score > jnp.float32(-3e38))
             h_sel = sel[pmeas.O_H : pmeas.O_H + 2].T
             hx_sel = sel[pmeas.O_HX : pmeas.O_HX + 14].T.reshape(NSEL, 2, 7)
             hy_sel = sel[pmeas.O_HY : pmeas.O_HY + 6].T.reshape(NSEL, 2, 3)
