@@ -155,6 +155,28 @@ void rs_initialise_feature(void *h, const unsigned char *img, int rows,
   m->InitialiseFeature(frame.clone());
 }
 
+// Manual auto-init trigger (reference InitialiseAutoFeature,
+// monoslam.cpp:1535-1541 -> AutoInitialiseFeature :823-868): future-pose
+// region proposal + Shi-Tomasi patch pick + ray insertion, with none of
+// GoOneStep's speed/visible-count gates.
+void rs_initialise_auto_feature(void *h, const unsigned char *img, int rows,
+                                int cols) {
+  cv::Mat frame(rows, cols, CV_8UC1, const_cast<unsigned char *>(img));
+  static_cast<MonoSLAM *>(h)->InitialiseAutoFeature(frame.clone());
+}
+
+// Add a feature with known world position and zero covariance (reference
+// AddNewKnownFeature, monoslam.cpp:1278-1291; known-feature constructor
+// feature.cpp:108-149 loads the patch image from `identifier`).
+void rs_add_new_known_feature(void *h, const double *y3, const double *xp7,
+                              const char *patch_path) {
+  Eigen::VectorXd y(3), xp(7);
+  for (int i = 0; i < 3; ++i) y[i] = y3[i];
+  for (int i = 0; i < 7; ++i) xp[i] = xp7[i];
+  static_cast<MonoSLAM *>(h)->AddNewKnownFeature(y, xp,
+                                                 std::string(patch_path));
+}
+
 // Most recent init-feature search region (monoslam.cpp:870-1032).
 int rs_init_search_region(void *h, int *ustart, int *vstart, int *ufinish,
                           int *vfinish) {

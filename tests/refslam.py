@@ -72,6 +72,10 @@ class RefSlam:
             ("rs_init_search_region", [ctypes.c_void_p, I32, I32, I32, I32], ctypes.c_int),
             ("rs_initialise_feature", [ctypes.c_void_p, U8, ctypes.c_int,
                                        ctypes.c_int, ctypes.c_int, ctypes.c_int], None),
+            ("rs_initialise_auto_feature", [ctypes.c_void_p, U8, ctypes.c_int,
+                                            ctypes.c_int], None),
+            ("rs_add_new_known_feature", [ctypes.c_void_p, F64, F64,
+                                          ctypes.c_char_p], None),
         ]:
             fn = getattr(self.lib, name)
             fn.argtypes = argtypes
@@ -107,6 +111,21 @@ class RefSlam:
         self.lib.rs_initialise_feature(
             self.h, frame.ctypes.data_as(U8), frame.shape[0], frame.shape[1],
             int(uu), int(vv),
+        )
+
+    def initialise_auto_feature(self, frame: np.ndarray) -> None:
+        """Manual auto-init trigger (reference InitialiseAutoFeature)."""
+        frame = np.ascontiguousarray(frame, np.uint8)
+        self.lib.rs_initialise_auto_feature(
+            self.h, frame.ctypes.data_as(U8), frame.shape[0], frame.shape[1]
+        )
+
+    def add_new_known_feature(self, y, xp_org, patch_path: str) -> None:
+        """Reference AddNewKnownFeature (monoslam.cpp:1278-1291)."""
+        y = np.ascontiguousarray(y, np.float64)
+        xp = np.ascontiguousarray(xp_org, np.float64)
+        self.lib.rs_add_new_known_feature(
+            self.h, _dptr(y), _dptr(xp), str(patch_path).encode()
         )
 
     # --------------------------------------------------------- introspection

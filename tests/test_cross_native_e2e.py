@@ -323,3 +323,117 @@ def test_manual_init_parity_vs_compiled_reference(dataset):
         assert ref.n_matched == int(np.asarray(out.n_matched)), i
         assert ref.n_partial == int(np.asarray(out.n_partial)), i
         np.testing.assert_allclose(ours.xv, ref.xv, atol=1e-9)
+
+
+def test_initialise_auto_feature_parity_vs_compiled_reference(dataset):
+    """Manual auto-init trigger (reference InitialiseAutoFeature,
+    monoslam.cpp:1535-1541 -> AutoInitialiseFeature :823-868, no speed or
+    visible-count gates): the same region is proposed, the same Shi-Tomasi
+    patch picked, and the same ray inserted with the same particle grid."""
+    frames, rs, qs, cfg = dataset
+    ref = refslam.RefSlam(cfg)
+    ours = MonoSLAM(cfg)
+    # tracked mapping-OFF frames so GoOneStep itself never auto-inits and the
+    # only init event is the manual trigger below
+    for i in range(8):
+        ref.go_one_step(frames[i], True, False)
+        ours.go_one_step(frames[i], True, False)
+    assert ref.n_partial == 0
+
+    ref.initialise_auto_feature(frames[8])
+    did = ours.initialise_auto_feature(frames[8])
+    assert ref.n_partial == 1, "reference trigger declined to init"
+    assert did, "our trigger declined while the reference initialised"
+    assert int(np.asarray(ours.state.active.sum())) == ref.n_features
+
+    # same proposed search region
+    defined, box = ref.init_search_region()
+    assert defined
+    # inserted ray + particle grid identical
+    rfeat = {f["label"]: f for f in ref.features()}
+    ofeat = {f["label"]: f for f in ours.feature_table()}
+    assert set(rfeat) == set(ofeat)
+    new_lab = max(rfeat)
+    np.testing.assert_allclose(ofeat[new_lab]["y"], rfeat[new_lab]["y"],
+                               atol=1e-12)
+    rp = ref.partials()[0]
+    slot = np.nonzero(
+        np.asarray(ours.state.active) & ~np.asarray(ours.state.full)
+    )[0][0]
+    lam = np.asarray(ours.state.lam)[slot]
+    np.testing.assert_allclose(lam[: len(rp["lambdas"])], rp["lambdas"], atol=0)
+
+    # evolve mapping-off: the manual ray's particle lifecycle must track
+    for i in range(9, 45):
+        ref.go_one_step(frames[i], True, False)
+        ours.go_one_step(frames[i], True, False)
+        out = ours.last_output
+        assert ref.n_matched == int(np.asarray(out.n_matched)), i
+        assert ref.n_partial == int(np.asarray(out.n_partial)), i
+        np.testing.assert_allclose(ours.xv, ref.xv, atol=1e-9)
+
+
+def test_add_new_known_feature_midrun_parity_vs_compiled_reference(
+    dataset, tmp_path
+):
+    """AddNewKnownFeature mid-run (reference monoslam.cpp:1278-1291 +
+    known-feature constructor feature.cpp:108-149): a 5th known feature with
+    zero covariance injected after 10 tracked frames behaves identically in
+    both pipelines."""
+    from scenelib2_tpu.config import load_config
+    from scenelib2_tpu.eval.synthetic import project_point
+    from scenelib2_tpu.io.pgm import write_pgm
+
+    frames, rs, qs, cfg = dataset
+    params = load_config(cfg).params
+    ref = refslam.RefSlam(cfg)
+    ours = MonoSLAM(cfg)
+    for i in range(10):
+        ref.go_one_step(frames[i], True, False)
+        ours.go_one_step(frames[i], True, False)
+
+    # world point at the target centre, patch cropped from frame 10 at its
+    # ground-truth projection — exactly how the stock PGMs were captured
+    y = np.array([0.0, 0.0, 0.0])
+    xp_org = np.concatenate([rs[10], qs[10]])
+    h = project_point(params, y, rs[10], qs[10])
+    uu, vv = int(round(h[0])), int(round(h[1]))
+    half = (params.boxsize - 1) // 2
+    patch = frames[10][vv - half : vv + half + 1, uu - half : uu + half + 1]
+    patch_path = str(tmp_path / "known_patch_mid.pgm")
+    write_pgm(patch_path, patch)
+
+    ref.add_new_known_feature(y, xp_org, patch_path)
+    ours.add_new_known_feature(y, xp_org, patch_path)
+    assert ref.n_features == 5
+    assert int(np.asarray(ours.state.active.sum())) == 5
+
+    # the new feature enters with zero covariance in both
+    d = ref.total_state_size
+    refP = ref.total_cov()
+    assert np.abs(refP[d - 3 :, :]).max() == 0.0
+    rfeat = {f["label"]: f for f in ref.features()}
+    ofeat = {f["label"]: f for f in ours.feature_table()}
+    assert set(rfeat) == set(ofeat)
+    np.testing.assert_allclose(ofeat[4]["y"], rfeat[4]["y"], atol=0)
+
+    # it must be measured and converge identically from here on
+    matched_counts = []
+    for i in range(10, 60):
+        ref.go_one_step(frames[i], True, False)
+        ours.go_one_step(frames[i], True, False)
+        out = ours.last_output
+        assert ref.n_matched == int(np.asarray(out.n_matched)), i
+        assert ref.n_features == int(np.asarray(out.n_active)) == 5, i
+        matched_counts.append(ref.n_matched)
+        np.testing.assert_allclose(ours.xv, ref.xv, atol=1e-9)
+    # the injected feature was actually exercised: with 5 known features the
+    # selector (NSEL=5 default... cfg) must have matched 5 at least once
+    assert max(matched_counts) >= 5, matched_counts
+
+    # final per-feature counters identical (attempts/successes of the new one)
+    rfeat = {f["label"]: f for f in ref.features()}
+    ofeat = {f["label"]: f for f in ours.feature_table()}
+    for lab, rf in rfeat.items():
+        assert rf["attempts"] == ofeat[lab]["attempts"], lab
+        assert rf["successes"] == ofeat[lab]["successes"], lab
