@@ -113,7 +113,12 @@ class InteractiveSession:
 
     # ------------------------------------------------------------- window
 
-    def run(self):  # pragma: no cover - needs a display
+    def run(self, show: bool = True):
+        """Wire the handlers to a matplotlib window and (optionally) block in
+        plt.show(). With show=False the fully-wired figure is returned
+        instead, so the event loop body is drivable headless under Agg by
+        synthesizing button_press_event / key_press_event through
+        fig.canvas.callbacks (see tests/test_viz_interactive.py)."""
         import matplotlib.pyplot as plt
 
         from scenelib2_tpu.eval import viz
@@ -144,4 +149,6 @@ class InteractiveSession:
         fig.canvas.mpl_connect("button_press_event", click)
         fig.canvas.mpl_connect("key_press_event", key)
         redraw()
-        plt.show()
+        if show:  # pragma: no cover - blocks on a live display
+            plt.show()
+        return fig

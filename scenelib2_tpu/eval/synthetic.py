@@ -112,9 +112,14 @@ def default_trajectory(n_frames: int, delta_t: float):
     return rs, qs
 
 
-def render_frame(params: Params, tex: np.ndarray, r: np.ndarray, q: np.ndarray,
-                 tex_scale: float, background: float = 128.0) -> np.ndarray:
-    """Render one frame through the calibrated camera (vectorised numpy)."""
+def texture_coords(params: Params, tex_shape, r: np.ndarray, q: np.ndarray,
+                   tex_scale: float):
+    """Per-pixel texel coordinates of the z=0 plane hit from pose (r, q).
+
+    The exact pixel->texel mapping the renderer samples through (unproject
+    via the calibrated camera, intersect the plane, scale into the texture).
+    Returns (tx, ty, hit); tx/ty are zeroed (NaN-free) where the ray misses.
+    Exposed separately so stamp_patch_on_plane can invert the mapping."""
     W, Hh = params.cam_width, params.cam_height
     u = np.arange(W)[None, :].repeat(Hh, 0).astype(np.float64)
     v = np.arange(Hh)[:, None].repeat(W, 1).astype(np.float64)
@@ -142,8 +147,15 @@ def render_frame(params: Params, tex: np.ndarray, r: np.ndarray, q: np.ndarray,
     # texture centred on world origin; masked where the ray misses so the
     # floor/int cast below stays warning-clean (pixel values are unchanged:
     # hit gates inb either way)
-    tx = np.where(hit, px / tex_scale + tex.shape[1] / 2.0, 0.0)
-    ty = np.where(hit, py / tex_scale + tex.shape[0] / 2.0, 0.0)
+    tx = np.where(hit, px / tex_scale + tex_shape[1] / 2.0, 0.0)
+    ty = np.where(hit, py / tex_scale + tex_shape[0] / 2.0, 0.0)
+    return tx, ty, hit
+
+
+def render_frame(params: Params, tex: np.ndarray, r: np.ndarray, q: np.ndarray,
+                 tex_scale: float, background: float = 128.0) -> np.ndarray:
+    """Render one frame through the calibrated camera (vectorised numpy)."""
+    tx, ty, hit = texture_coords(params, tex.shape, r, q, tex_scale)
     x0 = np.floor(tx).astype(int)
     y0 = np.floor(ty).astype(int)
     inb = hit & (x0 >= 0) & (x0 < tex.shape[1] - 1) & (y0 >= 0) & (y0 < tex.shape[0] - 1)
@@ -298,3 +310,67 @@ def _write_cfg(path: str, p: Params, r0, q0, patch_paths):
         ]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+def stamp_patch_on_plane(params: Params, tex: np.ndarray, tex_scale: float,
+                         patch: np.ndarray, y: np.ndarray,
+                         r0: np.ndarray, q0: np.ndarray) -> None:
+    """Composite `patch` onto the world plane (in-place on `tex`) so that
+    rendering from pose (r0, q0) reproduces it centred at the projection of
+    world point y.
+
+    Inverts the renderer's exact pixel->texel mapping at the capture pose,
+    so the patch lands with correct perspective in EVERY frame — the
+    synthetic analog of the printed target the stock known_patch PGMs were
+    photographed from (the reference loads those patches by path at Init:
+    feature.cpp:108-149, SceneLib2.cfg:267-313)."""
+    h = project_point(params, y, r0, q0)
+    uu, vv = int(round(h[0])), int(round(h[1]))
+    b = patch.shape[0]
+    half = (b - 1) // 2
+    tx, ty, hit = texture_coords(params, tex.shape, r0, q0, tex_scale)
+    sl = np.s_[vv - half : vv + half + 1, uu - half : uu + half + 1]
+    assert hit[sl].all(), "patch region must see the plane at the capture pose"
+    # at ~1 texel/pixel the rounded inverse mapping is collision-free inside
+    # the patch, and bilinear resampling at render time costs <1 grey level
+    ix = np.round(tx[sl]).astype(int)
+    iy = np.round(ty[sl]).astype(int)
+    tex[iy, ix] = np.asarray(patch, np.float64)
+
+
+def generate_stock_dataset(out_dir: str, n_frames: int = 120, seed: int = 7):
+    """Stock-data bootstrap scene: the four STOCK data/known_patch{0..3}.pgm
+    patches composited onto the world plane at the stock cfg's target-corner
+    points, rendered with the stock calibration along the standard
+    trajectory from the stock initial pose (0, 0, -0.60, identity).
+
+    Returns (frames, gt_r, gt_q, cfg_path) where cfg_path IS the literal
+    repo data/SceneLib2.cfg — nothing rewritten. Our loader resolves the
+    patch identifiers against the cfg's own directory; the C++ reference
+    resolves the stock `../../data/known_patch*.pgm` strings against the
+    process CWD, so run it from a directory two levels below the repo root
+    (e.g. native/refbuild). This closes the north-star clause on stock data:
+    cold start is AddNewKnownFeature x4 from the stock PGMs against footage
+    containing that printed target (monoslam.cpp:1940-1957)."""
+    from scenelib2_tpu.io.pgm import read_pgm
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    stock_cfg = os.path.join(here, "data", "SceneLib2.cfg")
+    cfg = load_config(stock_cfg)
+    params = cfg.params
+
+    rng = np.random.default_rng(seed)
+    tex = make_texture(rng)
+    tex_scale = 0.6 / params.cam_fku
+    rs, qs = default_trajectory(n_frames, params.delta_t)
+    for kf in cfg.known_features:
+        stamp_patch_on_plane(params, tex, tex_scale, read_pgm(kf.patch_path),
+                             np.asarray(kf.y), rs[0], qs[0])
+    frames = np.stack([
+        render_frame(params, tex, rs[i], qs[i], tex_scale) for i in range(n_frames)
+    ])
+    os.makedirs(os.path.join(out_dir, "seq"), exist_ok=True)
+    for i, f in enumerate(frames):
+        write_pgm(os.path.join(out_dir, "seq", f"rawoutput{i:04d}.pgm"), f)
+    np.savez(os.path.join(out_dir, "ground_truth.npz"), r=rs, q=qs)
+    return frames, rs, qs, stock_cfg

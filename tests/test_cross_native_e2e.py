@@ -437,3 +437,76 @@ def test_add_new_known_feature_midrun_parity_vs_compiled_reference(
     for lab, rf in rfeat.items():
         assert rf["attempts"] == ofeat[lab]["attempts"], lab
         assert rf["successes"] == ofeat[lab]["successes"], lab
+
+
+def test_stock_data_bootstrap_parity_vs_compiled_reference(
+    lib_ok, tmp_path_factory, monkeypatch
+):
+    """North-star "stock SceneLib2.cfg" clause exercised with STOCK DATA end
+    to end: the cold start is AddNewKnownFeature x4 from the literal
+    data/known_patch{0..3}.pgm files (monoslam.cpp:1940-1957,
+    SceneLib2.cfg:267-313) against footage CONTAINING that printed target —
+    the four stock patches composited onto the world plane at the cfg's
+    target-corner points — and both pipelines consume the UNMODIFIED stock
+    cfg (no synthetic lookalikes anywhere in the chain)."""
+    import os
+
+    from scenelib2_tpu.config import load_config
+    from scenelib2_tpu.eval.synthetic import generate_stock_dataset, project_point
+    from scenelib2_tpu.io.pgm import read_pgm
+
+    d = tmp_path_factory.mktemp("stock_ds")
+    frames, rs, qs, stock_cfg = generate_stock_dataset(str(d), n_frames=120)
+    assert os.path.basename(stock_cfg) == "SceneLib2.cfg"
+
+    # the rendered target must be faithful: frame 0 reproduces each STOCK
+    # patch at its projection well inside the matcher's threshold
+    cfg = load_config(stock_cfg)
+    half = (cfg.params.boxsize - 1) // 2
+    for kf in cfg.known_features:
+        patch = read_pgm(kf.patch_path).astype(float)
+        h = project_point(cfg.params, np.asarray(kf.y), rs[0], qs[0])
+        uu, vv = int(round(h[0])), int(round(h[1]))
+        crop = frames[0][vv - half : vv + half + 1,
+                         uu - half : uu + half + 1].astype(float)
+        a = crop - crop.mean()
+        b = patch - patch.mean()
+        nssd = ((a / np.linalg.norm(a) - b / np.linalg.norm(b)) ** 2).sum()
+        assert nssd < 0.25, (kf.patch_path, nssd)  # corr_thresh2 is 0.40
+
+    # the reference resolves the stock `../../data/known_patch*.pgm`
+    # identifiers against the CWD: run it from two levels below the repo
+    # root so the LITERAL cfg loads the LITERAL stock PGMs
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.chdir(os.path.join(repo, "native", "refbuild"))
+    recs, ref, ours = run_pair(stock_cfg, frames[1:], enable_mapping=True)
+
+    # cold start actually worked: the stock known features were measured
+    # from the first frames (4 known, NSEL=10 selects all of them)
+    early = [r["our_matched"] for r in recs[:10]]
+    assert min(early) >= 3, early
+    assert ref.n_features > 4, "mapping never grew past the stock bootstrap"
+
+    for r in recs:
+        assert r["ref_matched"] == r["our_matched"], r
+        assert r["ref_nfeat"] == r["our_nfeat"], r
+        assert r["ref_npart"] == r["our_npart"], r
+
+    ref_traj = np.stack([r["ref_xv"][:3] for r in recs])
+    our_traj = np.stack([r["our_xv"][:3] for r in recs])
+    rmse = np.sqrt(np.mean(np.sum((ref_traj - our_traj) ** 2, axis=1)))
+    assert rmse <= 1e-3, f"north-star RMSE violated: {rmse}"
+    assert rmse <= 1e-8, f"expected float-noise agreement, got {rmse}"
+
+    # and the stock bootstrap genuinely localizes: trajectory error vs the
+    # rendered ground truth stays small and BOUNDED (no divergence). The
+    # reference binary itself achieves ~0.020 m RMSE here — the stock prior
+    # starts with the wrong velocity (-0.1 z vs true +0.23 x) at zero
+    # velocity variance, giving a ~0.033 m transient around frame 6 that
+    # settles to ~1-2 cm at 0.6 m scene depth; both pipelines reproduce it
+    # identically, which the 1e-8 parity bound above already proves
+    gt = rs[1:]
+    err = np.linalg.norm(our_traj - gt, axis=1)
+    rmse_gt = np.sqrt(np.mean(err ** 2))
+    assert rmse_gt < 0.04, f"lost tracking on stock data: {rmse_gt} m"
+    assert err[-1] < 0.03, f"trajectory diverging: final error {err[-1]} m"

@@ -144,6 +144,56 @@ def test_interactive_pick_toggle_mark_delete(world):
     assert n2 == n1 + 1, "manual init should add a partial feature"
 
 
+def test_interactive_run_event_loop_headless(world):
+    """Drive run()'s wired event loop under Agg (VERDICT r3 item 10): the
+    click/key callbacks and the redraw body execute through the real
+    matplotlib event plumbing, not by calling the handlers directly."""
+    from matplotlib.backend_bases import KeyEvent, MouseEvent
+
+    d, frames, cfg = world
+    s = MonoSLAM(cfg, **OVERRIDES)
+    sess = InteractiveSession(s, frames)
+    fig = sess.run(show=False)
+    ax = fig.axes[0]
+
+    def fire_key(k):
+        fig.canvas.callbacks.process(
+            "key_press_event", KeyEvent("key_press_event", fig.canvas, k))
+
+    def fire_click(u, v, button=1):
+        x, y = ax.transData.transform((u, v))
+        fig.canvas.callbacks.process(
+            "button_press_event",
+            MouseEvent("button_press_event", fig.canvas, x, y, button=button))
+
+    # 'n' through the canvas advances a frame and redraws the AR overlay
+    fire_key("n")
+    fire_key("n")
+    assert sess.frame_idx == 2
+    assert sess.messages and sess.messages[-1].startswith("frame 2:")
+    assert ax.get_title() == sess.messages[-1]
+
+    # a left click near a projected feature toggles it, via the event path
+    projs = sess._feature_projections()
+    assert projs
+    lab, fu, fv = projs[0]
+    fire_click(fu, fv, button=1)
+    assert f"toggled feature {lab}" in sess.messages[-1]
+    assert lab in s.selected_labels
+    # right-click marks, 'd' deletes — all through the canvas
+    fire_click(fu, fv, button=3)
+    assert s.marked_feature_label == lab
+    n0 = int(np.asarray(s.state.active).sum())
+    fire_key("d")
+    assert int(np.asarray(s.state.active).sum()) == n0 - 1
+
+    # a key the session ignores must still redraw without error
+    fire_key("q")
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
 def test_mark_feature_lab_quirk(world):
     """monoslam.cpp:742-766: lab <= 0 skips the existence search — any
     non-positive label is marked while the list is non-empty."""
