@@ -98,21 +98,57 @@ def drand48_step(state: jnp.ndarray):
     return new, val
 
 
+def _jump_constants(n: int):
+    """Host-precomputed (A^{i+1} mod 2^48, C*(A^i+...+A+1) mod 2^48) limb
+    tables for i = 0..n-1, so n sequential LCG steps collapse to one
+    vectorized affine map x_i = Ai*x0 + Ci (exact Python ints here)."""
+    ai, ci = [], []
+    a, c = _A, _C
+    for _ in range(n):
+        ai.append(a)
+        ci.append(c)
+        c = (_A * c + _C) & _MASK
+        a = (a * _A) & _MASK
+    limbs = lambda xs, sh: np.array([(x >> sh) & 0xFFFF for x in xs], np.uint32)
+    return (
+        limbs(ai, 0), limbs(ai, 16), limbs(ai, 32),
+        limbs(ci, 0), limbs(ci, 16), limbs(ci, 32),
+    )
+
+
 def drand48_many(state: jnp.ndarray, n: int):
     """Draw n values; returns (states[n,3], values[n]).
 
     states[i] is the LCG state after i+1 draws, so callers that consume a
     data-dependent number k of draws can select states[k-1] (or the original
     state for k=0) to keep the stream in lockstep with the reference.
+
+    All n draws are computed in parallel via the closed form
+    x_i = A^{i+1} x_0 + C_i mod 2^48 (host-precomputed jump constants):
+    ~15 vector ops instead of ~30n sequential scalar ops — the sequential
+    form was the largest op cluster in the compiled auto-init branch. Limb
+    arithmetic is exact under u32 wraparound for the same reason as
+    drand48_step: each output limb only needs the exact low bits of its
+    column sum, and u32 addition preserves bits 0..31.
     """
-    states = []
-    vals = []
-    s = state
-    for _ in range(n):
-        s, v = drand48_step(s)
-        states.append(s)
-        vals.append(v)
-    return jnp.stack(states), jnp.stack(vals)
+    a0, a1, a2, c0, c1, c2 = (jnp.asarray(v) for v in _jump_constants(n))
+    s0, s1, s2 = state[0], state[1], state[2]
+    M16 = jnp.uint32(0xFFFF)
+    p0 = a0 * s0 + c0
+    r0 = p0 & M16
+    carry = p0 >> jnp.uint32(16)
+    p1 = a0 * s1 + a1 * s0 + c1 + carry
+    r1 = p1 & M16
+    carry = p1 >> jnp.uint32(16)
+    p2 = a0 * s2 + a1 * s1 + a2 * s0 + c2 + carry
+    r2 = p2 & M16
+    states = jnp.stack([r0, r1, r2], axis=1)                     # [n,3]
+    vals = (
+        r2.astype(jnp.float64) * (65536.0 * 65536.0)
+        + r1.astype(jnp.float64) * 65536.0
+        + r0.astype(jnp.float64)
+    ) * (1.0 / float(1 << 48))
+    return states, vals
 
 
 def host_drand48_sequence(seed: int, n: int) -> np.ndarray:

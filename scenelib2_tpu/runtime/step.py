@@ -731,13 +731,25 @@ def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Para
         )
 
     do_init = any_ok & (evbest > params.init_patch_score_thresh)
-    patch = lax.dynamic_slice(frame_u8, (vbest - half, ubest - half), (B, B))
-    z = jnp.stack([ubest, vbest]).astype(x.dtype)
 
     state = state._replace(rng=rng_new)
-    state = st.add_partial_feature(
-        state, cam, z, patch, lam0, do_init, onehot=params.batch_mode
-    )
+    # the ray insertion (patch crop, unprojection + quaternion Jacobians,
+    # covariance-row surgery — ~400 compiled ops of mostly scalar math) only
+    # matters when the Shi-Tomasi score clears the threshold; add_partial is
+    # an exact no-op when disabled, so skipping it via a real cond is
+    # decision-identical. Batch mode keeps the unconditional masked form (a
+    # vmapped cond evaluates both arms as selects).
+    def _insert(s: SlamState) -> SlamState:
+        patch = lax.dynamic_slice(frame_u8, (vbest - half, ubest - half), (B, B))
+        z = jnp.stack([ubest, vbest]).astype(x.dtype)
+        return st.add_partial_feature(
+            s, cam, z, patch, lam0, do_init, onehot=params.batch_mode
+        )
+
+    if params.batch_mode:
+        state = _insert(state)
+    else:
+        state = lax.cond(do_init, _insert, lambda s: s, state)
     return state, do_init, jnp.stack([region_us, region_vs]).astype(jnp.int32)
 
 
