@@ -40,45 +40,26 @@ ROW_PROB, ROW_ALIVE, ROW_SCAL = 0, 1, 2
 (LANE_MEAN, LANE_COV, LANE_CONVERT, LANE_ALLZERO, LANE_KILL, LANE_NOVER) = range(6)
 
 
-def _bayes_kernel(smem_ref, in_ref, out_ref, *, NP, NP_pad,
-                  prune_prob_thresh, sd_depth_ratio, min_particles,
-                  erase_partial_after_attempts):
-    """smem_ref (SMEM [1,1,128]): lane 0 = making, 1 = pmask,
-    2 = match_attempts (post-increment). in_ref (VMEM [1,13,NP_pad]; or
-    [1,15,NP_pad] in the pred_rows form, whose trailing HW/HH rows are
-    unused here). out_ref (VMEM [1,8,NP_pad])."""
-    # Mosaic cannot legalize selects with scalar predicates/operands on the
-    # vector path, so every scalar (SMEM params, lane reductions) is
-    # broadcast to an [NP_pad] vector before use.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (NP_pad,), 0)
-    zero = jnp.zeros((NP_pad,), jnp.float32)
+def _bayes_tail(*, prob_c, lam, palive, found, p_over, zu, zv, hu, hv,
+                a, b, c, det, making, pmask, match_attempts, valid, lane,
+                zero, NP_pad, prune_prob_thresh, sd_depth_ratio,
+                min_particles, erase_partial_after_attempts):
+    """Likelihood -> Bayes -> prune -> moments -> decisions on lane vectors.
+
+    Shared between _bayes_kernel and the fused search+bayes kernel
+    (pallas_search_bayes.py) so both paths are literally the same code.
+    Returns (prob_f [NP_pad], palive_f bool [NP_pad], scal [NP_pad] with the
+    LANE_* scalar layout)."""
 
     def vec(s):
         return zero + s
 
-    valid = lane < NP
-    making = vec(smem_ref[0, 0, 0]) > 0.0
-    pmask = vec(smem_ref[0, 0, 1]) > 0.0
-    match_attempts = vec(smem_ref[0, 0, 2])
-
-    def row(i):
-        return in_ref[0, i, :]
-
-    prob_c = row(_PROB)
-    lam = row(_LAM)
-    palive = (row(_ALIVE) > 0.0) & valid
-    found = row(_FOUND) > 0.0
-    p_over = row(_OVER) > 0.0
-
     # Gaussian innovation likelihood (monoslam.cpp:1459-1462); overflowed
     # unsearched particles keep their prior (step.py policy)
-    nu_u = row(_ZU) - row(_HU)
-    nu_v = row(_ZV) - row(_HV)
-    a = row(_S00)
-    b = row(_S01)
-    c = row(_S11)
+    nu_u = zu - hu
+    nu_v = zv - hv
     quad = a * nu_u * nu_u + 2.0 * b * nu_u * nu_v + c * nu_v * nu_v
-    gauss = (1.0 / jnp.sqrt(2.0 * jnp.pi * row(_DET))) * jnp.exp(-0.5 * quad)
+    gauss = (1.0 / jnp.sqrt(2.0 * jnp.pi * det)) * jnp.exp(-0.5 * quad)
     likelihood = jnp.where(found, gauss, jnp.where(p_over, 1.0, 0.0))
 
     upd = making & palive
@@ -132,6 +113,47 @@ def _bayes_kernel(smem_ref, in_ref, out_ref, *, NP, NP_pad,
         + jnp.where(lane == LANE_KILL, sel(kill), zero)
         + jnp.where(lane == LANE_NOVER, n_over, zero)
     )
+    return prob_f, palive_f, scal
+
+
+def _bayes_kernel(smem_ref, in_ref, out_ref, *, NP, NP_pad,
+                  prune_prob_thresh, sd_depth_ratio, min_particles,
+                  erase_partial_after_attempts):
+    """smem_ref (SMEM [1,1,128]): lane 0 = making, 1 = pmask,
+    2 = match_attempts (post-increment). in_ref (VMEM [1,13,NP_pad]; or
+    [1,15,NP_pad] in the pred_rows form, whose trailing HW/HH rows are
+    unused here). out_ref (VMEM [1,8,NP_pad])."""
+    # Mosaic cannot legalize selects with scalar predicates/operands on the
+    # vector path, so every scalar (SMEM params, lane reductions) is
+    # broadcast to an [NP_pad] vector before use.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NP_pad,), 0)
+    zero = jnp.zeros((NP_pad,), jnp.float32)
+
+    def vec(s):
+        return zero + s
+
+    valid = lane < NP
+
+    def row(i):
+        return in_ref[0, i, :]
+
+    prob_f, palive_f, scal = _bayes_tail(
+        prob_c=row(_PROB), lam=row(_LAM), palive=(row(_ALIVE) > 0.0) & valid,
+        found=row(_FOUND) > 0.0, p_over=row(_OVER) > 0.0,
+        zu=row(_ZU), zv=row(_ZV), hu=row(_HU), hv=row(_HV),
+        a=row(_S00), b=row(_S01), c=row(_S11), det=row(_DET),
+        making=vec(smem_ref[0, 0, 0]) > 0.0,
+        pmask=vec(smem_ref[0, 0, 1]) > 0.0,
+        match_attempts=vec(smem_ref[0, 0, 2]),
+        valid=valid, lane=lane, zero=zero, NP_pad=NP_pad,
+        prune_prob_thresh=prune_prob_thresh, sd_depth_ratio=sd_depth_ratio,
+        min_particles=min_particles,
+        erase_partial_after_attempts=erase_partial_after_attempts,
+    )
+
+    def sel(x):
+        return jnp.where(x, zero + 1.0, zero)
+
     rowi = jax.lax.broadcasted_iota(jnp.int32, (8, NP_pad), 0)
     zeros2 = jnp.zeros((8, NP_pad), jnp.float32)
     out_ref[0] = (

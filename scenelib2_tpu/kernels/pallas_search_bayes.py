@@ -1,0 +1,386 @@
+"""Union-box particle search + Bayes depth update as ONE Pallas kernel.
+
+The single-stream heavy particle branch (runtime/step.py stage 8) was ~97 us
+per firing frame on device, of which only ~25 us was kernel/reduce work: the
+union-box ladder (correlate.multi_ellipse_search_unionbox — nested lax.conds
+over static band sizes, masked [P, bh, bw] min + tie-key reduces) plus the
+glue feeding pallas_bayes_update issued ~150 small XLA ops whose per-op
+sequencer cost dominated. This kernel replaces the WHOLE chain after the
+score map:
+
+  per-particle search geometry -> union box (in-kernel rank-0 reduces) ->
+  a fori_loop over ONLY the union box's rows (dynamic trip count; static
+  128-lane column chunks gated by pl.when) -> masked min + last-tie key ->
+  Gaussian likelihood -> Bayes -> prune -> lambda moments -> conversion /
+  kill decisions (the pallas_bayes tail, shared code).
+
+Decisions are bit-equal to the ladder + pallas_bayes_update pipeline: the
+mask arithmetic replicates the ladder's exact f32 expression trees (see the
+op-order comments), the scanned region contains every alive particle's full
+masked candidate set by construction, min / tie-key max are comparison-based
+(order-independent), and the Bayes tail is literally the same code. Verified
+against the XLA ladder in tests/test_pallas_search_bayes.py and end-to-end
+by the decision-parity suites.
+
+Layout: particle rows arrive lane-parallel (as produced by
+pallas_particle_predict_fused); the search needs them as per-particle
+COLUMNS against band columns on lanes, so the kernel transposes them once
+via an exact 0/1 identity dot (bit-preserving), and transposes the three
+search results back the same way.
+
+Reference semantics: SearchMultipleOverlappingEllipses
+(improc/search_multiple_overlapping_ellipses.cpp:106-196) + particle weight
+update (monoslam.cpp:1446-1517, feature_init_info.cpp:99-174), with the
+framework's documented static window cap (docs/PARITY.md).
+f32 fast-mode only; the f64 parity path keeps the XLA forms.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = jax.lax.Precision.HIGHEST
+
+from scenelib2_tpu.kernels.pallas_bayes import _bayes_tail
+
+# pred_rows layout (pallas_particle.py output)
+from scenelib2_tpu.kernels.pallas_particle import (
+    ROW_DET, ROW_HH, ROW_HU, ROW_HV, ROW_HW, ROW_S00, ROW_S01, ROW_S11,
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# particle-rows input layout ([F, 3, NP_pad])
+_PL_PROB, _PL_LAM, _PL_ALIVE = range(3)
+
+# output row layout ([F, 8, NP_pad]); rows 0-2 match pallas_bayes
+ROW_PROB, ROW_ALIVE, ROW_SCAL = 0, 1, 2
+ROW_FOUND, ROW_ZU, ROW_ZV, ROW_BEST, ROW_OVER = 3, 4, 5, 6, 7
+(LANE_MEAN, LANE_COV, LANE_CONVERT, LANE_ALLZERO, LANE_KILL, LANE_NOVER) = range(6)
+
+_BIG = float(1 << 24)   # coordinate sentinel (ladder uses 1 << 24), f32-exact
+_MISS = 1e6             # masked-cell score sentinel (ladder's value)
+
+
+def _kernel(smem_ref, corr_ref, pred_ref, pl_ref, out_ref, cb_ref, ck_ref, *,
+            NP, NP_pad, P_sub, H, W, W_pad, win_radius, no_sigma,
+            corr_thresh2, prune_prob_thresh, sd_depth_ratio, min_particles,
+            erase_partial_after_attempts):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NP_pad,), 0)
+    zero = jnp.zeros((NP_pad,), jnp.float32)
+
+    def vec(s):
+        return zero + s
+
+    valid = lane < NP
+    making = vec(smem_ref[0, 0, 0]) > 0.0
+
+    def prow(i):
+        return pred_ref[0, i, :]
+
+    hu = prow(ROW_HU)
+    hv = prow(ROW_HV)
+    s00 = prow(ROW_S00)
+    s01 = prow(ROW_S01)
+    s11 = prow(ROW_S11)
+    hw = prow(ROW_HW)
+    hh = prow(ROW_HH)
+    palive = (pl_ref[0, _PL_ALIVE, :] > 0.0) & valid
+
+    R = float(win_radius)
+    side_u = float(min(2 * win_radius + 1, W))
+    side_v = float(min(2 * win_radius + 1, H))
+
+    # search geometry, replicating multi_ellipse_search_unionbox's integer
+    # arithmetic in exact-small-integer f32 (correlate.py:495-521)
+    uc = jnp.trunc(hu)
+    vc = jnp.trunc(hv)
+    u0 = jnp.minimum(jnp.maximum(uc - R, 0.0), float(W) - side_u)
+    v0 = jnp.minimum(jnp.maximum(vc - R, 0.0), float(H) - side_v)
+    over_l = (hw > R) | (hh > R)
+    searchable = palive & making
+
+    r_v_lo = jnp.maximum(v0, vc - hh)
+    r_v_hi = jnp.minimum(v0 + side_v, vc + hh + 1.0)
+    r_u_lo = jnp.maximum(u0, uc - hw)
+    r_u_hi = jnp.minimum(u0 + side_u, uc + hw + 1.0)
+    nonempty = searchable & (r_v_lo < r_v_hi) & (r_u_lo < r_u_hi)
+
+    v_lo_s = jnp.min(jnp.where(nonempty, r_v_lo, _BIG))
+    v_hi_s = jnp.max(jnp.where(nonempty, r_v_hi, -_BIG))
+    u_lo_s = jnp.min(jnp.where(nonempty, r_u_lo, _BIG))
+    u_hi_s = jnp.max(jnp.where(nonempty, r_u_hi, -_BIG))
+    n_rows = jnp.clip(v_hi_s, 0.0, float(H)) - jnp.clip(v_lo_s, 0.0, float(H))
+    n_rows = jnp.maximum(n_rows, 0.0).astype(jnp.int32)
+    v_lo_i = jnp.clip(v_lo_s, 0.0, float(H)).astype(jnp.int32)
+
+    # one exact 0/1 identity-dot transpose: 9 lane rows -> [P_sub, 16] columns
+    rowi16 = jax.lax.broadcasted_iota(jnp.int32, (16, NP_pad), 0)
+    zeros16 = jnp.zeros((16, NP_pad), jnp.float32)
+
+    def put(i, v):
+        return jnp.where(rowi16 == i, v[None, :] + zeros16, zeros16)
+
+    pack = (
+        put(0, uc) + put(1, vc) + put(2, u0) + put(3, v0)
+        + put(4, hw) + put(5, hh) + put(6, s00) + put(7, 2.0 * s01)
+        + put(8, s11)
+    )
+    eye_pn = (
+        jax.lax.broadcasted_iota(jnp.int32, (P_sub, NP_pad), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (P_sub, NP_pad), 1)
+    ).astype(jnp.float32)
+    cols = jax.lax.dot_general(
+        eye_pn, pack, (((1,), (1,)), ((), ())),
+        precision=_HI, preferred_element_type=jnp.float32,
+    )                                                    # [P_sub, 16]
+    uc_c = cols[:, 0:1]
+    vc_c = cols[:, 1:2]
+    u0_c = cols[:, 2:3]
+    v0_c = cols[:, 3:4]
+    hw_c = cols[:, 4:5]
+    hh_c = cols[:, 5:6]
+    a_c = cols[:, 6:7]
+    bu2_c = cols[:, 7:8]                                 # 2.0 * b, ladder op order
+    c_c = cols[:, 8:9]
+
+    cb_ref[:] = jnp.full((P_sub, W_pad), _MISS, jnp.float32)
+    ck_ref[:] = jnp.full((P_sub, W_pad), -1.0, jnp.float32)
+
+    n_chunks = W_pad // 128
+    # chunk k needed iff [128k, 128k+127] intersects [u_lo, u_hi)
+    need = [
+        (float(128 * k) <= u_hi_s - 1.0) & (float(128 * k + 127) >= u_lo_s)
+        for k in range(n_chunks)
+    ]
+    lane_iota_f = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
+        jnp.float32
+    )
+    uu_chunks = [float(128 * k) + lane_iota_f for k in range(n_chunks)]
+    no_sigma2 = float(no_sigma) * float(no_sigma)
+
+    # loop over aligned 8-row blocks (an in-kernel fori iteration costs ~500
+    # cycles of Mosaic loop overhead — pallas_linalg.py — so the 8 rows
+    # inside a block are a STATIC unroll behind cheap scalar pl.when guards)
+    v_hi_i = v_lo_i + n_rows
+    b_lo = v_lo_i // 8
+    n_blocks = jnp.where(n_rows > 0, (v_hi_i - 1) // 8 - b_lo + 1, 0)
+
+    def block_body(bi, _):
+        v_al = (b_lo + bi) * 8
+        block = corr_ref[0, pl.ds(v_al, 8), :]           # [8, W_pad] aligned
+        for r8 in range(8):
+            v = v_al + r8
+
+            @pl.when((v >= v_lo_i) & (v < v_hi_i))
+            def _(r8=r8, v=v):
+                vals = block[r8 : r8 + 1, :]             # [1, W_pad] static
+                vf = v.astype(jnp.float32)
+                vrel_c = vf - vc_c                       # [P_sub, 1]
+                rowok_c = (
+                    (vf >= v0_c) & (vf < v0_c + side_v)
+                    & (jnp.abs(vrel_c) <= hh_c)
+                )
+                vterm_c = (c_c * vrel_c) * vrel_c        # ((c*vrel)*vrel)
+                for k in range(n_chunks):
+                    @pl.when(need[k])
+                    def _(k=k):
+                        uu = uu_chunks[k]                # [1, 128]
+                        valsk = vals[:, 128 * k : 128 * (k + 1)]
+                        urel = uu - uc_c                 # [P_sub, 128]
+                        in_u = (uu >= u0_c) & (uu < u0_c + side_u)
+                        box_u = jnp.abs(urel) <= hw_c
+                        t1 = (a_c * urel) * urel         # ((a*urel)*urel)
+                        t2 = (bu2_c * urel) * vrel_c     # (((2b)*urel)*vrel)
+                        ell = ((t1 + t2) + vterm_c) < no_sigma2
+                        mask = rowok_c & in_u & box_u & ell
+                        cand = jnp.where(
+                            mask, valsk + jnp.zeros_like(urel), _MISS
+                        )
+                        key = uu * float(H) + vf         # ladder key = u*H + v
+                        cb = cb_ref[:, 128 * k : 128 * (k + 1)]
+                        ck = ck_ref[:, 128 * k : 128 * (k + 1)]
+                        lt = cand < cb
+                        # a masked cell (cand == MISS) must never record a
+                        # key: the ladder's tie set is (vals == best) & mask
+                        eq = (cand == cb) & (cand < _MISS)
+                        keyb = key + jnp.zeros_like(urel)
+                        ck_ref[:, 128 * k : 128 * (k + 1)] = jnp.where(
+                            lt, keyb, jnp.where(eq, jnp.maximum(ck, keyb), ck)
+                        )
+                        cb_ref[:, 128 * k : 128 * (k + 1)] = jnp.minimum(cb, cand)
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, block_body, 0)
+
+    colbest = cb_ref[:]
+    colkey = ck_ref[:]
+    best_c = jnp.min(colbest, axis=1, keepdims=True)     # [P_sub, 1]
+    tie_c = colbest == best_c
+    kbest_c = jnp.max(
+        jnp.where(tie_c, colkey, jnp.full((P_sub, W_pad), -1.0, jnp.float32)),
+        axis=1, keepdims=True,
+    )
+
+    # transpose (best, kbest) back to lane layout with the same 0/1 dot
+    coli8 = jax.lax.broadcasted_iota(jnp.int32, (P_sub, 8), 1)
+    zeros8 = jnp.zeros((P_sub, 8), jnp.float32)
+    pack2 = (
+        jnp.where(coli8 == 0, best_c + zeros8, zeros8)
+        + jnp.where(coli8 == 1, kbest_c + zeros8, zeros8)
+    )
+    back = jax.lax.dot_general(
+        pack2, eye_pn, (((0,), (0,)), ((), ())),
+        precision=_HI, preferred_element_type=jnp.float32,
+    )                                                    # [8, NP_pad]
+    best_l = back[0, :]
+    kbest_l = back[1, :]
+
+    found = searchable & (best_l <= float(corr_thresh2))
+    p_over = over_l & searchable
+    # exact f32 divmod of the tie key (kbest < 2^17; (k+0.5)/H lands strictly
+    # inside (q, q+1), so trunc is exact — see tests)
+    zu = jnp.trunc((kbest_l + 0.5) / float(H))
+    zv = kbest_l - float(H) * zu
+
+    prob_f, palive_f, scal = _bayes_tail(
+        prob_c=pl_ref[0, _PL_PROB, :],
+        lam=pl_ref[0, _PL_LAM, :],
+        palive=palive,
+        found=found,
+        p_over=p_over,
+        zu=zu, zv=zv,
+        hu=hu, hv=hv, a=s00, b=s01, c=s11, det=prow(ROW_DET),
+        making=making,
+        pmask=vec(smem_ref[0, 0, 1]) > 0.0,
+        match_attempts=vec(smem_ref[0, 0, 2]),
+        valid=valid, lane=lane, zero=zero, NP_pad=NP_pad,
+        prune_prob_thresh=prune_prob_thresh,
+        sd_depth_ratio=sd_depth_ratio, min_particles=min_particles,
+        erase_partial_after_attempts=erase_partial_after_attempts,
+    )
+
+    def sel(x):
+        return jnp.where(x, zero + 1.0, zero)
+
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (8, NP_pad), 0)
+    zeros2 = jnp.zeros((8, NP_pad), jnp.float32)
+
+    def put_out(i, v):
+        return jnp.where(rowi == i, v[None, :] + zeros2, zeros2)
+
+    out_ref[0] = (
+        put_out(ROW_PROB, prob_f)
+        + put_out(ROW_ALIVE, sel(palive_f))
+        + put_out(ROW_SCAL, scal)
+        + put_out(ROW_FOUND, sel(found))
+        + put_out(ROW_ZU, zu)
+        + put_out(ROW_ZV, zv)
+        + put_out(ROW_BEST, best_l)
+        + put_out(ROW_OVER, sel(p_over))
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win_radius", "no_sigma", "corr_thresh2",
+                     "prune_prob_thresh", "sd_depth_ratio", "min_particles",
+                     "erase_partial_after_attempts", "image_shape",
+                     "interpret"),
+)
+def pallas_search_bayes(
+    corr_maps: jnp.ndarray,       # [F,H,W] f32 penalized score maps
+    pred_rows: jnp.ndarray,       # [F,8,NP_pad] raw particle-predict rows
+    prob: jnp.ndarray,            # [F,NP]
+    lam: jnp.ndarray,             # [F,NP]
+    palive: jnp.ndarray,          # [F,NP] bool
+    making: jnp.ndarray,          # [F] bool
+    pmask: jnp.ndarray,           # [F] bool
+    match_attempts: jnp.ndarray,  # [F] i32 (already incremented this frame)
+    image_shape: tuple[int, int] = (240, 320),
+    win_radius: int = 32,
+    no_sigma: float = 3.0,
+    corr_thresh2: float = 0.40,
+    prune_prob_thresh: float = 0.05,
+    sd_depth_ratio: float = 0.3,
+    min_particles: int = 20,
+    erase_partial_after_attempts: int = 10,
+    interpret: bool | None = None,
+):
+    """Returns (prob_f [F,NP], palive_f [F,NP] bool, mean [F], cov [F],
+    convert [F] bool, kill [F] bool, n_over [F] i32, found [F,NP] bool,
+    z [F,NP,2], best [F,NP]) — the pallas_bayes_update outputs plus the
+    search results (for diagnostics/tests)."""
+    if interpret is None:
+        from scenelib2_tpu.kernels.compat import default_interpret
+
+        interpret = default_interpret()
+    F, NP = prob.shape
+    NP_pad = max(_round_up(NP, 128), 128)
+    P_sub = _round_up(NP, 8)
+    H, W = image_shape
+    H_pad = _round_up(H, 8)
+    W_pad = _round_up(W, 128)
+    assert corr_maps.shape == (F, H, W), corr_maps.shape
+    assert pred_rows.shape[1:] == (8, NP_pad), pred_rows.shape
+
+    corr_p = jnp.pad(
+        corr_maps.astype(jnp.float32),
+        ((0, 0), (0, H_pad - H), (0, W_pad - W)),
+    )
+
+    def pad(x):
+        return jnp.pad(x.astype(jnp.float32), ((0, 0), (0, NP_pad - NP)))
+
+    pl_rows = jnp.stack([pad(prob), pad(lam), pad(palive)], axis=1)
+    smem = jnp.zeros((F, 1, 128), jnp.float32)
+    smem = smem.at[:, 0, 0].set(making.astype(jnp.float32))
+    smem = smem.at[:, 0, 1].set(pmask.astype(jnp.float32))
+    smem = smem.at[:, 0, 2].set(match_attempts.astype(jnp.float32))
+
+    kernel = functools.partial(
+        _kernel,
+        NP=NP, NP_pad=NP_pad, P_sub=P_sub, H=H, W=W, W_pad=W_pad,
+        win_radius=win_radius, no_sigma=float(no_sigma),
+        corr_thresh2=float(corr_thresh2),
+        prune_prob_thresh=prune_prob_thresh, sd_depth_ratio=sd_depth_ratio,
+        min_particles=min_particles,
+        erase_partial_after_attempts=erase_partial_after_attempts,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(F,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 128), lambda f: (f, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, H_pad, W_pad), lambda f: (f, 0, 0)),
+            pl.BlockSpec((1, 8, NP_pad), lambda f: (f, 0, 0)),
+            pl.BlockSpec((1, 3, NP_pad), lambda f: (f, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 8, NP_pad), lambda f: (f, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((F, 8, NP_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((P_sub, W_pad), jnp.float32),
+            pltpu.VMEM((P_sub, W_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(smem, corr_p, pred_rows.astype(jnp.float32), pl_rows)
+
+    prob_f = out[:, ROW_PROB, :NP].astype(prob.dtype)
+    palive_f = out[:, ROW_ALIVE, :NP] > 0.0
+    mean = out[:, ROW_SCAL, LANE_MEAN].astype(prob.dtype)
+    cov = out[:, ROW_SCAL, LANE_COV].astype(prob.dtype)
+    convert = out[:, ROW_SCAL, LANE_CONVERT] > 0.0
+    kill = out[:, ROW_SCAL, LANE_KILL] > 0.0
+    n_over = out[:, ROW_SCAL, LANE_NOVER].astype(jnp.int32)
+    found = out[:, ROW_FOUND, :NP] > 0.0
+    z = jnp.stack([out[:, ROW_ZU, :NP], out[:, ROW_ZV, :NP]], axis=-1)
+    best = out[:, ROW_BEST, :NP]
+    return prob_f, palive_f, mean, cov, convert, kill, n_over, found, z, best

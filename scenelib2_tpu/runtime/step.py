@@ -886,6 +886,51 @@ def _match_partial_features(state: SlamState, corr_maps,
     # materialized rowband were both measured slower on TPU).
     searchable = palive_c & making[:, None]
 
+    if fast and params.use_pallas and not params.batch_mode:
+        # union-box search + Bayes + decisions as ONE kernel
+        # (pallas_search_bayes.py): replaces the lax.cond band ladder, its
+        # masked reduces, and the bayes-prep glue — ~150 small XLA ops per
+        # firing frame of pure sequencer cost. Decisions bit-equal to the
+        # ladder + pallas_bayes_update pipeline (tests/test_pallas_search_bayes).
+        from scenelib2_tpu.kernels.pallas_search_bayes import pallas_search_bayes
+
+        (prob_f, palive_f, mean, cov, convert_mask, kill_c, n_over_slot,
+         _found, _z, _best) = pallas_search_bayes(
+            corr_maps.astype(jnp.float32), pred_raw, prob_c, lam_c, palive_c,
+            making, pmask, match_attempts[pidx],
+            image_shape=(params.cam_height, params.cam_width),
+            win_radius=params.particle_win_radius, no_sigma=params.no_sigma,
+            corr_thresh2=params.corr_thresh2,
+            prune_prob_thresh=params.prune_prob_thresh,
+            sd_depth_ratio=params.sd_depth_ratio,
+            min_particles=params.min_particles,
+            erase_partial_after_attempts=params.erase_partial_after_attempts,
+        )
+        n_p_overflow = jnp.sum(n_over_slot).astype(jnp.int32)
+
+        # scatter compact particle state back to the full-width arrays
+        prob_full = state.prob.at[pidx].set(prob_f)
+        palive_full = state.palive.at[pidx].set(palive_f)
+        state = state._replace(
+            prob=prob_full, palive=palive_full, match_attempts=match_attempts
+        )
+
+        def do_surgery(s: SlamState) -> SlamState:
+            for j in range(MAXP):
+                s = st.convert_feature(
+                    s, pidx[j], mean[j], cov[j], convert_mask[j],
+                    onehot=params.batch_mode,
+                )
+            kill = jnp.zeros(MF, bool).at[pidx].set(kill_c & pmask)
+            kill = kill & s.active & ~s.full
+            return st.delete_mask(s, kill)
+
+        did_convert = jnp.any(convert_mask)
+        any_surgery = did_convert | jnp.any(kill_c & pmask)
+        state = lax.cond(any_surgery, do_surgery, lambda s: s, state)
+        ar = (hpi.astype(dtype), sinv.astype(dtype), searchable)
+        return state, did_convert, n_p_overflow, ar
+
     if params.batch_mode:
         if fast and params.use_pallas and params.batch_pallas:
             # aligned-sub-block kernel: the dense form's full-map reduce per

@@ -1,0 +1,188 @@
+"""Fused search+Bayes kernel vs the union-box ladder + pallas_bayes_update.
+
+The fused kernel (kernels/pallas_search_bayes.py) must reproduce, bit-for-
+bit in f32, the exact pipeline it replaces on the single-stream fast path:
+correlate.multi_ellipse_search_unionbox -> likelihood -> Bayes -> prune ->
+moments -> conversion/kill decisions (pallas_bayes_update). Scenarios cover
+tight/spread clouds, window overflow, dead particles, making=False slots,
+forced score ties, and empty unions.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scenelib2_tpu.kernels import correlate
+from scenelib2_tpu.kernels.pallas_bayes import pallas_bayes_update
+from scenelib2_tpu.kernels.pallas_search_bayes import pallas_search_bayes
+
+H, W = 240, 320
+NP = 100
+NO_SIGMA = 3.0
+THRESH = 0.40
+
+
+def _pred_rows(hpi, sinv, dets, NP_pad):
+    """Pack the particle-predict row layout [F, 8, NP_pad] from dense parts,
+    with HW/HH derived by the ladder's own f32 formula so both paths read
+    identical values."""
+    F, NPl = dets.shape
+    a = sinv[..., 0, 0].astype(np.float32)
+    b = sinv[..., 0, 1].astype(np.float32)
+    c = sinv[..., 1, 1].astype(np.float32)
+    hw = np.floor(np.float32(NO_SIGMA) / np.sqrt(a - b * b / c))
+    hh = np.floor(np.float32(NO_SIGMA) / np.sqrt(c - b * b / a))
+    rows = np.zeros((F, 8, NP_pad), np.float32)
+    rows[:, 0, :NPl] = hpi[..., 0]
+    rows[:, 1, :NPl] = hpi[..., 1]
+    rows[:, 2, :NPl] = a
+    rows[:, 3, :NPl] = b
+    rows[:, 4, :NPl] = c
+    rows[:, 5, :NPl] = dets
+    rows[:, 5, NPl:] = 1.0  # keep 1/sqrt(det) finite in padding lanes
+    rows[:, 6, :NPl] = hw
+    rows[:, 7, :NPl] = hh
+    return jnp.asarray(rows)
+
+
+def _scenario(seed, *, spread, overflow=False, dead_frac=0.0, making=True,
+              ties=False, F=1, win_radius=32):
+    rng = np.random.default_rng(seed)
+    corr = rng.uniform(0.0, 2.0, size=(F, H, W)).astype(np.float32)
+    if ties:
+        corr = np.round(corr * 8.0) / 8.0  # force exact duplicate scores
+    # particle cloud along a rough ray
+    t = np.linspace(0.0, 1.0, NP, dtype=np.float32)
+    centers_u = 60.0 + (200.0 if spread else 14.0) * t
+    centers_v = 50.0 + (150.0 if spread else 9.0) * t
+    hpi = np.stack(
+        [
+            np.tile(centers_u, (F, 1)) + rng.normal(0, 1.5, (F, NP)),
+            np.tile(centers_v, (F, 1)) + rng.normal(0, 1.5, (F, NP)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    # random SPD S, inverted to sinv (f32)
+    sd = rng.uniform(2.0, 40.0 if overflow else 6.0, (F, NP)).astype(np.float32)
+    rho = rng.uniform(-0.5, 0.5, (F, NP)).astype(np.float32)
+    s00 = sd * sd
+    s11 = sd * sd * rng.uniform(0.6, 1.4, (F, NP)).astype(np.float32)
+    s01 = rho * np.sqrt(s00 * s11, dtype=np.float32)
+    dets = (s00 * s11 - s01 * s01).astype(np.float32)
+    sinv = np.empty((F, NP, 2, 2), np.float32)
+    sinv[..., 0, 0] = s11 / dets
+    sinv[..., 1, 1] = s00 / dets
+    sinv[..., 0, 1] = sinv[..., 1, 0] = -s01 / dets
+    dets_inv = (sinv[..., 0, 0] * sinv[..., 1, 1] - sinv[..., 0, 1] ** 2)
+    palive = rng.uniform(size=(F, NP)) >= dead_frac
+    palive[:, :5] = True
+    prob = rng.uniform(0.1, 1.0, (F, NP)).astype(np.float32)
+    prob /= prob.sum(axis=1, keepdims=True)
+    lam = np.linspace(0.5, 5.0, NP, dtype=np.float32)[None, :].repeat(F, 0)
+    making_v = np.full(F, making)
+    pmask = np.ones(F, bool)
+    attempts = rng.integers(1, 9, F).astype(np.int32)
+    return dict(
+        corr=jnp.asarray(corr), hpi=jnp.asarray(hpi), sinv=jnp.asarray(sinv),
+        dets=jnp.asarray(dets_inv.astype(np.float32)),
+        palive=jnp.asarray(palive), prob=jnp.asarray(prob),
+        lam=jnp.asarray(lam), making=jnp.asarray(making_v),
+        pmask=jnp.asarray(pmask), attempts=jnp.asarray(attempts),
+        win_radius=win_radius,
+    )
+
+
+def _reference_pipeline(s):
+    """The exact pipeline the fused kernel replaces (step.py pre-fusion)."""
+    F = s["corr"].shape[0]
+    searchable = s["palive"] & s["making"][:, None]
+    res = [
+        correlate.multi_ellipse_search_unionbox(
+            s["corr"][j], s["hpi"][j].astype(jnp.float32),
+            s["sinv"][j].astype(jnp.float32), searchable[j],
+            win_radius=s["win_radius"], no_sigma=NO_SIGMA,
+            corr_thresh2=THRESH,
+        )
+        for j in range(F)
+    ]
+    found, zu, zv, p_over = (jnp.stack([r[i] for r in res]) for i in range(4))
+    z = jnp.stack([zu, zv], axis=-1).astype(jnp.float32)
+    return (
+        pallas_bayes_update(
+            s["prob"], s["lam"], s["palive"], found, p_over, z,
+            s["hpi"], s["sinv"], s["dets"], s["making"], s["pmask"],
+            s["attempts"], interpret=True,
+        ),
+        (found, z),
+    )
+
+
+def _fused(s):
+    NP_pad = 128
+    pred = _pred_rows(
+        np.asarray(s["hpi"]), np.asarray(s["sinv"]), np.asarray(s["dets"]),
+        NP_pad,
+    )
+    return pallas_search_bayes(
+        s["corr"], pred, s["prob"], s["lam"], s["palive"], s["making"],
+        s["pmask"], s["attempts"], image_shape=(H, W),
+        win_radius=s["win_radius"], no_sigma=NO_SIGMA, corr_thresh2=THRESH,
+        interpret=True,
+    )
+
+
+CASES = [
+    ("tight", dict(spread=False)),
+    ("spread", dict(spread=True)),
+    ("overflow", dict(spread=False, overflow=True, win_radius=16)),
+    ("dead", dict(spread=False, dead_frac=0.6)),
+    ("not_making", dict(spread=False, making=False)),
+    ("ties", dict(spread=False, ties=True)),
+    ("two_slots", dict(spread=True, F=2, dead_frac=0.3)),
+]
+
+
+@pytest.mark.parametrize("name,kw", CASES, ids=[c[0] for c in CASES])
+def test_fused_matches_ladder_plus_bayes(name, kw):
+    s = _scenario(zlib.crc32(name.encode()) % 100000, **kw)
+    (ref, (found_r, z_r)) = _reference_pipeline(s)
+    prob_r, palive_r, mean_r, cov_r, conv_r, kill_r, nov_r = ref
+    out = _fused(s)
+    prob_f, palive_f, mean_f, cov_f, conv_f, kill_f, nov_f, found_f, z_f, _ = out
+
+    # search results and every DECISION are exact; the continuous Bayes
+    # quantities are same-source-code f32 whose fused-multiply-add
+    # contraction may differ between the two kernel compilation contexts
+    # (the standalone bayes kernel is likewise allclose-verified vs its XLA
+    # form, tests/test_pallas_bayes.py:82-87) — ULP-level tolerance only.
+    np.testing.assert_array_equal(np.asarray(found_f), np.asarray(found_r))
+    fm = np.asarray(found_r)
+    np.testing.assert_array_equal(np.asarray(z_f)[fm], np.asarray(z_r)[fm])
+    np.testing.assert_allclose(
+        np.asarray(prob_f), np.asarray(prob_r), rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_array_equal(np.asarray(palive_f), np.asarray(palive_r))
+    np.testing.assert_allclose(
+        np.asarray(mean_f), np.asarray(mean_r), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(cov_f), np.asarray(cov_r), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_array_equal(np.asarray(conv_f), np.asarray(conv_r))
+    np.testing.assert_array_equal(np.asarray(kill_f), np.asarray(kill_r))
+    np.testing.assert_array_equal(np.asarray(nov_f), np.asarray(nov_r))
+
+
+def test_fused_empty_union_is_all_miss():
+    s = _scenario(7, spread=False)
+    s["palive"] = jnp.zeros_like(s["palive"])  # nothing searchable
+    out = _fused(s)
+    _, _, _, _, _, _, _, found_f, _, best = out
+    assert not bool(np.asarray(found_f).any())
+    assert float(np.asarray(best).min()) == 1e6
