@@ -70,10 +70,18 @@ _BIG = float(1 << 24)   # coordinate sentinel (ladder uses 1 << 24), f32-exact
 _MISS = 1e6             # masked-cell score sentinel (ladder's value)
 
 
-def _kernel(smem_ref, corr_ref, pred_ref, pl_ref, out_ref, cb_ref, ck_ref, *,
+def _kernel(smem_ref, corr_ref, pred_ref, pl_ref, *rest,
             NP, NP_pad, P_sub, H, W, W_pad, win_radius, no_sigma,
             corr_thresh2, prune_prob_thresh, sd_depth_ratio, min_particles,
-            erase_partial_after_attempts):
+            erase_partial_after_attempts, MF_pad=None):
+    if MF_pad is None:
+        out_ref, cb_ref, ck_ref = rest
+    else:
+        # full-width mode: pl_ref is [3, MF_pad, NP_pad] whole-state rows,
+        # the slot row is picked in-kernel by pidx (smem lane 3), and the
+        # updated prob/palive are written back full-width (pass-through copy
+        # for every other row) — no XLA gathers/scatters around the kernel
+        out_ref, prob_out_ref, alive_out_ref, cb_ref, ck_ref = rest
     lane = jax.lax.broadcasted_iota(jnp.int32, (NP_pad,), 0)
     zero = jnp.zeros((NP_pad,), jnp.float32)
 
@@ -93,7 +101,24 @@ def _kernel(smem_ref, corr_ref, pred_ref, pl_ref, out_ref, cb_ref, ck_ref, *,
     s11 = prow(ROW_S11)
     hw = prow(ROW_HW)
     hh = prow(ROW_HH)
-    palive = (pl_ref[0, _PL_ALIVE, :] > 0.0) & valid
+    if MF_pad is None:
+        prob_in = pl_ref[0, _PL_PROB, :]
+        lam_in = pl_ref[0, _PL_LAM, :]
+        alive_in = pl_ref[0, _PL_ALIVE, :]
+    else:
+        pidx_s = smem_ref[0, 0, 3].astype(jnp.int32)
+        rowoh = (
+            jax.lax.broadcasted_iota(jnp.int32, (MF_pad, NP_pad), 0) == pidx_s
+        )
+        zeros_mf = jnp.zeros((MF_pad, NP_pad), jnp.float32)
+
+        def pick(i):
+            return jnp.sum(jnp.where(rowoh, pl_ref[i], zeros_mf), axis=0)
+
+        prob_in = pick(_PL_PROB)
+        lam_in = pick(_PL_LAM)
+        alive_in = pick(_PL_ALIVE)
+    palive = (alive_in > 0.0) & valid
 
     R = float(win_radius)
     side_u = float(min(2 * win_radius + 1, W))
@@ -129,9 +154,12 @@ def _kernel(smem_ref, corr_ref, pred_ref, pl_ref, out_ref, cb_ref, ck_ref, *,
     def put(i, v):
         return jnp.where(rowi16 == i, v[None, :] + zeros16, zeros16)
 
+    # in_win & box folds exactly into the per-particle effective bounds:
+    # u ∈ [u0, u0+side) ∩ [uc-hw, uc+hw] == [r_u_lo, r_u_hi) (same for v),
+    # so the loop tests 2 compares per axis instead of 4
     pack = (
-        put(0, uc) + put(1, vc) + put(2, u0) + put(3, v0)
-        + put(4, hw) + put(5, hh) + put(6, s00) + put(7, 2.0 * s01)
+        put(0, uc) + put(1, vc) + put(2, r_u_lo) + put(3, r_u_hi)
+        + put(4, r_v_lo) + put(5, r_v_hi) + put(6, s00) + put(7, 2.0 * s01)
         + put(8, s11)
     )
     eye_pn = (
@@ -144,10 +172,10 @@ def _kernel(smem_ref, corr_ref, pred_ref, pl_ref, out_ref, cb_ref, ck_ref, *,
     )                                                    # [P_sub, 16]
     uc_c = cols[:, 0:1]
     vc_c = cols[:, 1:2]
-    u0_c = cols[:, 2:3]
-    v0_c = cols[:, 3:4]
-    hw_c = cols[:, 4:5]
-    hh_c = cols[:, 5:6]
+    ulo_c = cols[:, 2:3]
+    uhi_c = cols[:, 3:4]
+    vlo_c = cols[:, 4:5]
+    vhi_c = cols[:, 5:6]
     a_c = cols[:, 6:7]
     bu2_c = cols[:, 7:8]                                 # 2.0 * b, ladder op order
     c_c = cols[:, 8:9]
@@ -185,10 +213,7 @@ def _kernel(smem_ref, corr_ref, pred_ref, pl_ref, out_ref, cb_ref, ck_ref, *,
                 vals = block[r8 : r8 + 1, :]             # [1, W_pad] static
                 vf = v.astype(jnp.float32)
                 vrel_c = vf - vc_c                       # [P_sub, 1]
-                rowok_c = (
-                    (vf >= v0_c) & (vf < v0_c + side_v)
-                    & (jnp.abs(vrel_c) <= hh_c)
-                )
+                rowok_c = (vf >= vlo_c) & (vf < vhi_c)
                 vterm_c = (c_c * vrel_c) * vrel_c        # ((c*vrel)*vrel)
                 for k in range(n_chunks):
                     @pl.when(need[k])
@@ -196,12 +221,11 @@ def _kernel(smem_ref, corr_ref, pred_ref, pl_ref, out_ref, cb_ref, ck_ref, *,
                         uu = uu_chunks[k]                # [1, 128]
                         valsk = vals[:, 128 * k : 128 * (k + 1)]
                         urel = uu - uc_c                 # [P_sub, 128]
-                        in_u = (uu >= u0_c) & (uu < u0_c + side_u)
-                        box_u = jnp.abs(urel) <= hw_c
+                        in_u = (uu >= ulo_c) & (uu < uhi_c)
                         t1 = (a_c * urel) * urel         # ((a*urel)*urel)
                         t2 = (bu2_c * urel) * vrel_c     # (((2b)*urel)*vrel)
                         ell = ((t1 + t2) + vterm_c) < no_sigma2
-                        mask = rowok_c & in_u & box_u & ell
+                        mask = rowok_c & in_u & ell
                         cand = jnp.where(
                             mask, valsk + jnp.zeros_like(urel), _MISS
                         )
@@ -252,8 +276,8 @@ def _kernel(smem_ref, corr_ref, pred_ref, pl_ref, out_ref, cb_ref, ck_ref, *,
     zv = kbest_l - float(H) * zu
 
     prob_f, palive_f, scal = _bayes_tail(
-        prob_c=pl_ref[0, _PL_PROB, :],
-        lam=pl_ref[0, _PL_LAM, :],
+        prob_c=prob_in,
+        lam=lam_in,
         palive=palive,
         found=found,
         p_over=p_over,
@@ -287,6 +311,13 @@ def _kernel(smem_ref, corr_ref, pred_ref, pl_ref, out_ref, cb_ref, ck_ref, *,
         + put_out(ROW_BEST, best_l)
         + put_out(ROW_OVER, sel(p_over))
     )
+    if MF_pad is not None:
+        prob_out_ref[...] = jnp.where(
+            rowoh, prob_f[None, :] + zeros_mf, pl_ref[_PL_PROB]
+        )
+        alive_out_ref[...] = jnp.where(
+            rowoh, sel(palive_f)[None, :] + zeros_mf, pl_ref[_PL_ALIVE]
+        )
 
 
 @functools.partial(
@@ -314,16 +345,30 @@ def pallas_search_bayes(
     min_particles: int = 20,
     erase_partial_after_attempts: int = 10,
     interpret: bool | None = None,
+    pidx: jnp.ndarray | None = None,  # [] i32: full-width mode (F must be 1)
 ):
-    """Returns (prob_f [F,NP], palive_f [F,NP] bool, mean [F], cov [F],
-    convert [F] bool, kill [F] bool, n_over [F] i32, found [F,NP] bool,
-    z [F,NP,2], best [F,NP]) — the pallas_bayes_update outputs plus the
-    search results (for diagnostics/tests)."""
+    """Returns (prob_f, palive_f bool, mean [F], cov [F], convert [F] bool,
+    kill [F] bool, n_over [F] i32, found [F,NP] bool, z [F,NP,2],
+    best [F,NP]) — the pallas_bayes_update outputs plus the search results
+    (for diagnostics/tests).
+
+    Compact mode (pidx=None): prob/lam/palive are the [F,NP] slot rows and
+    prob_f/palive_f come back [F,NP]. Full-width mode (pidx given, F==1):
+    prob/lam/palive are the WHOLE [MF,NP] state arrays; the kernel picks row
+    pidx in-kernel and returns updated full-width prob_f [MF,NP] /
+    palive_f [MF,NP] (other rows passed through bit-exactly), so the step
+    needs no gather/scatter around the call."""
     if interpret is None:
         from scenelib2_tpu.kernels.compat import default_interpret
 
         interpret = default_interpret()
-    F, NP = prob.shape
+    F = making.shape[0]
+    NP = prob.shape[-1]
+    full = pidx is not None
+    if full:
+        assert F == 1, "full-width mode handles a single partial slot"
+        MF = prob.shape[0]
+        MF_pad = _round_up(MF, 8)
     NP_pad = max(_round_up(NP, 128), 128)
     P_sub = _round_up(NP, 8)
     H, W = image_shape
@@ -340,11 +385,19 @@ def pallas_search_bayes(
     def pad(x):
         return jnp.pad(x.astype(jnp.float32), ((0, 0), (0, NP_pad - NP)))
 
-    pl_rows = jnp.stack([pad(prob), pad(lam), pad(palive)], axis=1)
+    if full:
+        pl_rows = jnp.stack(
+            [pad(prob), pad(lam), pad(palive)], axis=0
+        )                                   # [3, MF, NP_pad]
+        pl_rows = jnp.pad(pl_rows, ((0, 0), (0, MF_pad - MF), (0, 0)))
+    else:
+        pl_rows = jnp.stack([pad(prob), pad(lam), pad(palive)], axis=1)
     smem = jnp.zeros((F, 1, 128), jnp.float32)
     smem = smem.at[:, 0, 0].set(making.astype(jnp.float32))
     smem = smem.at[:, 0, 1].set(pmask.astype(jnp.float32))
     smem = smem.at[:, 0, 2].set(match_attempts.astype(jnp.float32))
+    if full:
+        smem = smem.at[0, 0, 3].set(pidx.astype(jnp.float32))
 
     kernel = functools.partial(
         _kernel,
@@ -354,18 +407,40 @@ def pallas_search_bayes(
         prune_prob_thresh=prune_prob_thresh, sd_depth_ratio=sd_depth_ratio,
         min_particles=min_particles,
         erase_partial_after_attempts=erase_partial_after_attempts,
+        MF_pad=MF_pad if full else None,
     )
-    out = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((1, 1, 128), lambda f: (f, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, H_pad, W_pad), lambda f: (f, 0, 0)),
+        pl.BlockSpec((1, 8, NP_pad), lambda f: (f, 0, 0)),
+        (
+            pl.BlockSpec((3, MF_pad, NP_pad), lambda f: (0, 0, 0))
+            if full
+            else pl.BlockSpec((1, 3, NP_pad), lambda f: (f, 0, 0))
+        ),
+    ]
+    misc_spec = pl.BlockSpec((1, 8, NP_pad), lambda f: (f, 0, 0))
+    misc_shape = jax.ShapeDtypeStruct((F, 8, NP_pad), jnp.float32)
+    if full:
+        out_specs = (
+            misc_spec,
+            pl.BlockSpec((MF_pad, NP_pad), lambda f: (0, 0)),
+            pl.BlockSpec((MF_pad, NP_pad), lambda f: (0, 0)),
+        )
+        out_shape = (
+            misc_shape,
+            jax.ShapeDtypeStruct((MF_pad, NP_pad), jnp.float32),
+            jax.ShapeDtypeStruct((MF_pad, NP_pad), jnp.float32),
+        )
+    else:
+        out_specs = misc_spec
+        out_shape = misc_shape
+    res = pl.pallas_call(
         kernel,
         grid=(F,),
-        in_specs=[
-            pl.BlockSpec((1, 1, 128), lambda f: (f, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, H_pad, W_pad), lambda f: (f, 0, 0)),
-            pl.BlockSpec((1, 8, NP_pad), lambda f: (f, 0, 0)),
-            pl.BlockSpec((1, 3, NP_pad), lambda f: (f, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 8, NP_pad), lambda f: (f, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((F, 8, NP_pad), jnp.float32),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((P_sub, W_pad), jnp.float32),
             pltpu.VMEM((P_sub, W_pad), jnp.float32),
@@ -373,8 +448,14 @@ def pallas_search_bayes(
         interpret=interpret,
     )(smem, corr_p, pred_rows.astype(jnp.float32), pl_rows)
 
-    prob_f = out[:, ROW_PROB, :NP].astype(prob.dtype)
-    palive_f = out[:, ROW_ALIVE, :NP] > 0.0
+    if full:
+        out, prob_full, alive_full = res
+        prob_f = prob_full[:MF, :NP].astype(prob.dtype)
+        palive_f = alive_full[:MF, :NP] > 0.0
+    else:
+        out = res
+        prob_f = out[:, ROW_PROB, :NP].astype(prob.dtype)
+        palive_f = out[:, ROW_ALIVE, :NP] > 0.0
     mean = out[:, ROW_SCAL, LANE_MEAN].astype(prob.dtype)
     cov = out[:, ROW_SCAL, LANE_COV].astype(prob.dtype)
     convert = out[:, ROW_SCAL, LANE_CONVERT] > 0.0

@@ -22,6 +22,7 @@ and state selection so a whole sequence can run under one lax.scan.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -56,6 +57,13 @@ from scenelib2_tpu.runtime import state as st
 from scenelib2_tpu.runtime.state import CAM_DIM, SLOT_DIM, SlamState
 
 _NEG_INF = -jnp.inf
+
+# ablation hook (scripts only): "init" / "heavy" force those lax.cond branch
+# bodies to run EVERY frame with their gates as data — the bodies are exact
+# no-ops when the gates are false, so decisions are identical and the
+# device-time delta vs the gated build is the branch's true marginal cost in
+# the benched scan graph
+_ABLATE_FORCE = os.environ.get("SCENELIB2_FORCE_BRANCHES", "")
 
 
 class StepOutputs(NamedTuple):
@@ -517,12 +525,21 @@ def make_step(params: Params, dtype=jnp.float64):
 
         # the whole proposal+detection pipeline is skipped via lax.cond on
         # frames that fail the cheap gates (steady-state maps rarely init)
-        mid_state, did_init, init_box = lax.cond(
-            want_init,
-            lambda s: _auto_initialise(s, frame_u8, cam, params, lam0, jnp.asarray(True)),
-            lambda s: (s, jnp.asarray(False), jnp.zeros(2, jnp.int32)),
-            mid_state,
-        )
+        if "init" in _ABLATE_FORCE:
+            # ablation: run the branch body every frame with want_init as
+            # data (the body is an exact no-op when the gate is false), so
+            # device-time deltas measure the branch's marginal cost with
+            # decisions unchanged
+            mid_state, did_init, init_box = _auto_initialise(
+                mid_state, frame_u8, cam, params, lam0, want_init
+            )
+        else:
+            mid_state, did_init, init_box = lax.cond(
+                want_init,
+                lambda s: _auto_initialise(s, frame_u8, cam, params, lam0, jnp.asarray(True)),
+                lambda s: (s, jnp.asarray(False), jnp.zeros(2, jnp.int32)),
+                mid_state,
+            )
         x, P = mid_state.x, mid_state.P
 
         # ---- 8. match partially-initialised features --------------------------
@@ -575,9 +592,14 @@ def make_step(params: Params, dtype=jnp.float64):
                 ),
             )
 
-        mid_state, did_convert, n_p_overflow, (par_h, par_sinv, par_alive) = lax.cond(
-            making_any, heavy, light, mid_state
-        )
+        if "heavy" in _ABLATE_FORCE:
+            mid_state, did_convert, n_p_overflow, (par_h, par_sinv, par_alive) = heavy(
+                mid_state
+            )
+        else:
+            mid_state, did_convert, n_p_overflow, (par_h, par_sinv, par_alive) = lax.cond(
+                making_any, heavy, light, mid_state
+            )
 
         out = StepOutputs(
             r=mid_state.x[0:3],
@@ -782,12 +804,34 @@ def _match_partial_features(state: SlamState, corr_maps,
 
     making = pmask & making_all[pidx]                   # [MAXP]
 
-    ys6 = st.slot_states(x, MF)[pidx]                   # [MAXP,6]
-    pxy6 = st.slot_pxy(P, MF)[pidx]                     # [MAXP,13,6]
-    pyy6 = st.slot_pyy(P, MF)[pidx]                     # [MAXP,6,6]
+    fast_mode = jnp.zeros((), jnp.float64).dtype == jnp.float32
+    fused_sb = (
+        fast_mode and params.use_pallas and not params.batch_mode and MAXP == 1
+    )
+    if fused_sb:
+        # one-hot MXU extraction of the slot blocks: rows6 = E P, pyy = E P E'
+        # (exact under the package-wide HIGHEST matmul precision — 0/1
+        # contractions have exactly one term). The build-all-slots-then-
+        # gather forms cost ~5us/frame of gather work at MF=16; a plain
+        # dynamic_slice was measured worse still (BENCH_SUITE negative list).
+        off = CAM_DIM + SLOT_DIM * pidx[0]
+        D = x.shape[0]
+        E6 = (
+            (off + jnp.arange(SLOT_DIM, dtype=pidx.dtype))[:, None]
+            == jnp.arange(D, dtype=pidx.dtype)[None, :]
+        ).astype(P.dtype)                               # [6, D]
+        rows6 = E6 @ P                                  # [6, D]
+        ys6 = (E6 @ x)[None]                            # [1, 6]
+        pxy6 = rows6[:, :CAM_DIM].T[None]               # [1, 13, 6]
+        pyy6 = (rows6 @ E6.T)[None]                     # [1, 6, 6]
+        prob_c = None                                   # stays full-width
+    else:
+        ys6 = st.slot_states(x, MF)[pidx]               # [MAXP,6]
+        pxy6 = st.slot_pxy(P, MF)[pidx]                 # [MAXP,13,6]
+        pyy6 = st.slot_pyy(P, MF)[pidx]                 # [MAXP,6,6]
+        prob_c = state.prob[pidx]
     lam_c = state.lam[pidx]                             # [MAXP,NP]
     palive_c = state.palive[pidx]
-    prob_c = state.prob[pidx]
 
     # per-(slot, particle) predicted measurement + innovation covariance;
     # the lambda-independent ray geometry (part_zeroedyi: quaternion rotation
@@ -894,10 +938,7 @@ def _match_partial_features(state: SlamState, corr_maps,
         # ladder + pallas_bayes_update pipeline (tests/test_pallas_search_bayes).
         from scenelib2_tpu.kernels.pallas_search_bayes import pallas_search_bayes
 
-        (prob_f, palive_f, mean, cov, convert_mask, kill_c, n_over_slot,
-         _found, _z, _best) = pallas_search_bayes(
-            corr_maps.astype(jnp.float32), pred_raw, prob_c, lam_c, palive_c,
-            making, pmask, match_attempts[pidx],
+        kw = dict(
             image_shape=(params.cam_height, params.cam_width),
             win_radius=params.particle_win_radius, no_sigma=params.no_sigma,
             corr_thresh2=params.corr_thresh2,
@@ -906,11 +947,25 @@ def _match_partial_features(state: SlamState, corr_maps,
             min_particles=params.min_particles,
             erase_partial_after_attempts=params.erase_partial_after_attempts,
         )
+        if fused_sb:
+            # full-width mode: the kernel picks row pidx in-kernel and hands
+            # back whole prob/palive arrays (pass-through for other rows) —
+            # no gather/scatter around the call
+            (prob_full, palive_full, mean, cov, convert_mask, kill_c,
+             n_over_slot, _found, _z, _best) = pallas_search_bayes(
+                corr_maps.astype(jnp.float32), pred_raw, state.prob,
+                state.lam, state.palive, making, pmask, match_attempts[pidx],
+                pidx=pidx[0], **kw,
+            )
+        else:
+            (prob_f, palive_f, mean, cov, convert_mask, kill_c, n_over_slot,
+             _found, _z, _best) = pallas_search_bayes(
+                corr_maps.astype(jnp.float32), pred_raw, prob_c, lam_c,
+                palive_c, making, pmask, match_attempts[pidx], **kw,
+            )
+            prob_full = state.prob.at[pidx].set(prob_f)
+            palive_full = state.palive.at[pidx].set(palive_f)
         n_p_overflow = jnp.sum(n_over_slot).astype(jnp.int32)
-
-        # scatter compact particle state back to the full-width arrays
-        prob_full = state.prob.at[pidx].set(prob_f)
-        palive_full = state.palive.at[pidx].set(palive_f)
         state = state._replace(
             prob=prob_full, palive=palive_full, match_attempts=match_attempts
         )

@@ -186,3 +186,40 @@ def test_fused_empty_union_is_all_miss():
     _, _, _, _, _, _, _, found_f, _, best = out
     assert not bool(np.asarray(found_f).any())
     assert float(np.asarray(best).min()) == 1e6
+
+
+def test_full_width_mode_matches_compact():
+    """pidx mode: whole-state rows in, whole-state rows out, other rows
+    passed through bit-exactly."""
+    MF = 16
+    s = _scenario(4242, spread=False, dead_frac=0.2)
+    rng = np.random.default_rng(99)
+    prob_full = rng.uniform(0.0, 1.0, (MF, NP)).astype(np.float32)
+    lam_full = rng.uniform(0.5, 5.0, (MF, NP)).astype(np.float32)
+    palive_full = rng.uniform(size=(MF, NP)) > 0.3
+    pidx = 5
+    prob_full[pidx] = np.asarray(s["prob"])[0]
+    lam_full[pidx] = np.asarray(s["lam"])[0]
+    palive_full[pidx] = np.asarray(s["palive"])[0]
+
+    compact = _fused(s)
+    pred = _pred_rows(
+        np.asarray(s["hpi"]), np.asarray(s["sinv"]), np.asarray(s["dets"]), 128
+    )
+    full = pallas_search_bayes(
+        s["corr"], pred, jnp.asarray(prob_full), jnp.asarray(lam_full),
+        jnp.asarray(palive_full), s["making"], s["pmask"], s["attempts"],
+        image_shape=(H, W), win_radius=s["win_radius"], no_sigma=NO_SIGMA,
+        corr_thresh2=THRESH, interpret=True, pidx=jnp.int32(pidx),
+    )
+    prob_out, palive_out = np.asarray(full[0]), np.asarray(full[1])
+    # slot row updated exactly as compact mode; all other rows untouched
+    np.testing.assert_array_equal(prob_out[pidx], np.asarray(compact[0])[0])
+    np.testing.assert_array_equal(palive_out[pidx], np.asarray(compact[1])[0])
+    others = np.arange(MF) != pidx
+    np.testing.assert_array_equal(prob_out[others], prob_full[others])
+    np.testing.assert_array_equal(palive_out[others], palive_full[others])
+    # scalar decisions identical
+    for k in range(2, 7):
+        np.testing.assert_array_equal(np.asarray(full[k]), np.asarray(compact[k]))
+    np.testing.assert_array_equal(np.asarray(full[7]), np.asarray(compact[7]))
