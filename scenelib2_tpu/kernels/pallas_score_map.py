@@ -197,12 +197,14 @@ def _score_map_kernel_whole(smem_ref, img_ref, out_ref, *, B, H, W, pad_h,
 )
 def pallas_score_maps(
     frame_u8: jnp.ndarray,     # [H,W]
-    patches_u8: jnp.ndarray,   # [F,B,B]
+    patches_u8: jnp.ndarray,   # [F,B,B]; ignored when patch_rows given
     boxsize: int = 11,
     corr_sigma_thresh: float = 10.0,
     low_sigma_penalty: float = 5.0,
     interpret: bool | None = None,
     force_banded: bool = False,
+    patch_rows: jnp.ndarray | None = None,  # [F,128] precomputed SMEM rows
+                                            # (state.patch_row layout)
 ) -> jnp.ndarray:
     """Penalized NSSD score map for every patch: [F,H,W] f32."""
     if interpret is None:
@@ -210,17 +212,22 @@ def pallas_score_maps(
 
         interpret = default_interpret()
     H, W = frame_u8.shape
-    F, B, _ = patches_u8.shape
+    B = boxsize
     assert B * B + 2 <= 128, "patch stats must fit one SMEM row"
     pad_w = _round_up(W, 128)
 
-    p32 = patches_u8.astype(jnp.int32)
-    sg0 = p32.sum(axis=(1, 2)).astype(jnp.float32)
-    sg0sq = (p32 * p32).sum(axis=(1, 2)).astype(jnp.float32)
-    smem = jnp.zeros((F, 1, 128), jnp.float32)
-    smem = smem.at[:, 0, : B * B].set(patches_u8.reshape(F, -1).astype(jnp.float32))
-    smem = smem.at[:, 0, B * B].set(sg0)
-    smem = smem.at[:, 0, B * B + 1].set(sg0sq)
+    if patch_rows is not None:
+        F = patch_rows.shape[0]
+        smem = patch_rows[:, None, :]
+    else:
+        F = patches_u8.shape[0]
+        p32 = patches_u8.astype(jnp.int32)
+        sg0 = p32.sum(axis=(1, 2)).astype(jnp.float32)
+        sg0sq = (p32 * p32).sum(axis=(1, 2)).astype(jnp.float32)
+        smem = jnp.zeros((F, 1, 128), jnp.float32)
+        smem = smem.at[:, 0, : B * B].set(patches_u8.reshape(F, -1).astype(jnp.float32))
+        smem = smem.at[:, 0, B * B].set(sg0)
+        smem = smem.at[:, 0, B * B + 1].set(sg0sq)
 
     # whole-frame kernel while its ~26 live temporaries fit scoped VMEM
     # (15MB/26 per buffer); banded (BAND+16-row blocks) above that

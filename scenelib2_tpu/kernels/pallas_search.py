@@ -257,6 +257,7 @@ def pallas_elliptical_search_fused(
     corr_thresh2: float = 0.40,
     corr_sigma_thresh: float = 10.0,
     interpret: bool | None = None,
+    patch_rows: jnp.ndarray | None = None,  # [K,128] precomputed SMEM rows
 ):
     """pallas_elliptical_search without the host-graph window gather.
 
@@ -274,7 +275,7 @@ def pallas_elliptical_search_fused(
 
         interpret = default_interpret()
     H, W = image_shape
-    K = patches_u8.shape[0]
+    K = patch_rows.shape[0] if patch_rows is not None else patches_u8.shape[0]
     B = boxsize
     half = (B - 1) // 2
     side_u = min(2 * win_radius + 1, W - B + 1)
@@ -302,9 +303,13 @@ def pallas_elliptical_search_fused(
     ua = (us // 128) * 128
     offs = jnp.stack([va, ua, vs - va, us - ua], axis=1).astype(jnp.int32)
 
-    p32 = patches_u8.astype(jnp.int32)
-    sg0 = p32.sum(axis=(1, 2)).astype(jnp.float32)
-    sg0sq = (p32 * p32).sum(axis=(1, 2)).astype(jnp.float32)
+    if patch_rows is not None:
+        sg0 = patch_rows[:, B * B]
+        sg0sq = patch_rows[:, B * B + 1]
+    else:
+        p32 = patches_u8.astype(jnp.int32)
+        sg0 = p32.sum(axis=(1, 2)).astype(jnp.float32)
+        sg0sq = (p32 * p32).sum(axis=(1, 2)).astype(jnp.float32)
     uc = jnp.floor(h_centre[:, 0] + 0.5).astype(jnp.float32)
     vc = jnp.floor(h_centre[:, 1] + 0.5).astype(jnp.float32)
     params = jnp.stack(
@@ -316,11 +321,18 @@ def pallas_elliptical_search_fused(
         ],
         axis=1,
     )
-    smem_in = jnp.zeros((K, 2, 128), jnp.float32)
-    smem_in = smem_in.at[:, 0, : B * B].set(
-        patches_u8.reshape(K, -1).astype(jnp.float32)
-    )
-    smem_in = smem_in.at[:, 1, :10].set(params)
+    if patch_rows is not None:
+        # precomputed row 0 (pixels | sums at 121/122 — unread extra lanes)
+        smem_in = jnp.stack(
+            [patch_rows, jnp.zeros((K, 128), jnp.float32).at[:, :10].set(params)],
+            axis=1,
+        )
+    else:
+        smem_in = jnp.zeros((K, 2, 128), jnp.float32)
+        smem_in = smem_in.at[:, 0, : B * B].set(
+            patches_u8.reshape(K, -1).astype(jnp.float32)
+        )
+        smem_in = smem_in.at[:, 1, :10].set(params)
 
     kernel = functools.partial(
         _search_kernel_fused,

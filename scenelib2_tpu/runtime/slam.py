@@ -304,6 +304,11 @@ class MonoSLAM:
         # older checkpoints predate the persistent scheduled-for-termination
         # flag; features saved mid-schedule are vanishingly rare, default off
         fields.setdefault("sched", jnp.zeros(self.params.max_features, bool))
+        # ... and the precomputed kernel patch rows: derive from the patches
+        if "patch_rows" not in fields:
+            fields["patch_rows"] = jnp.stack(
+                [st.patch_row(p) for p in fields["patches"]]
+            )
         self.state = SlamState(**fields)
 
     # --------------------------------------------------------------- misc

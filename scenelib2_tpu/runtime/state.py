@@ -48,6 +48,20 @@ CAM_DIM = 13
 SLOT_DIM = 6
 
 
+def patch_row(patch_u8: jnp.ndarray) -> jnp.ndarray:
+    """[128] f32 SMEM row for one patch: pixels | sum | sum-of-squares.
+
+    Matches the layout the score-map / search kernels read (integer sums are
+    exact in f32 for 11x11 u8 patches)."""
+    B = patch_u8.shape[-1]
+    p32 = patch_u8.astype(jnp.int32)
+    row = jnp.zeros(128, jnp.float32)
+    row = row.at[: B * B].set(patch_u8.reshape(-1).astype(jnp.float32))
+    row = row.at[B * B].set(p32.sum().astype(jnp.float32))
+    row = row.at[B * B + 1].set((p32 * p32).sum().astype(jnp.float32))
+    return row
+
+
 def slot_offset(i):
     return CAM_DIM + SLOT_DIM * i
 
@@ -64,6 +78,11 @@ class SlamState(NamedTuple):
     xp_org: jnp.ndarray     # [MF,7] camera position at acquisition
     attempts: jnp.ndarray   # [MF] i32 attempted measurements
     successes: jnp.ndarray  # [MF] i32 successful measurements
+    # per-slot precomputed Pallas patch row: lanes 0..B*B-1 = patch pixels
+    # (f32, row-major), B*B = sum, B*B+1 = sum of squares. Computed once at
+    # patch write time so the per-frame kernel wrappers do one gather
+    # instead of rebuilding conversions/reductions/scatters every frame.
+    patch_rows: jnp.ndarray  # [MF,128] f32
     # partial-feature particle filter (per slot; only meaningful when !full)
     lam: jnp.ndarray            # [MF,NP] f64 depth hypotheses
     prob: jnp.ndarray           # [MF,NP] f64 particle probabilities
@@ -99,6 +118,7 @@ def init_state(params: Params, xv0, pxx0, seed: int = 0) -> SlamState:
         full=jnp.zeros(MF, bool),
         label=jnp.full(MF, -1, jnp.int32),
         patches=jnp.zeros((MF, B, B), jnp.uint8),
+        patch_rows=jnp.zeros((MF, 128), jnp.float32),
         xp_org=jnp.zeros((MF, 7), jnp.float64),
         attempts=jnp.zeros(MF, jnp.int32),
         successes=jnp.zeros(MF, jnp.int32),
@@ -138,6 +158,9 @@ def add_known_feature(state: SlamState, y, xp_org, patch_u8) -> SlamState:
         full=state.full.at[slot].set(True),
         label=state.label.at[slot].set(state.next_label),
         patches=state.patches.at[slot].set(jnp.asarray(patch_u8, jnp.uint8)),
+        patch_rows=state.patch_rows.at[slot].set(
+            patch_row(jnp.asarray(patch_u8, jnp.uint8))
+        ),
         xp_org=state.xp_org.at[slot].set(jnp.asarray(xp_org, jnp.float64)),
         next_label=state.next_label + 1,
     )
@@ -235,6 +258,9 @@ def add_partial_feature(
         label=state.label.at[slot].set(sel_row(state.next_label, state.label)),
         patches=state.patches.at[slot].set(
             sel_row(patch_u8.astype(jnp.uint8), state.patches)
+        ),
+        patch_rows=state.patch_rows.at[slot].set(
+            sel_row(patch_row(patch_u8.astype(jnp.uint8)), state.patch_rows)
         ),
         xp_org=state.xp_org.at[slot].set(sel_row(xp, state.xp_org)),
         attempts=state.attempts.at[slot].set(sel_row(0, state.attempts)),

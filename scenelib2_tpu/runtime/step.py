@@ -356,12 +356,13 @@ def make_step(params: Params, dtype=jnp.float64):
         )
         if params.use_pallas and (not params.batch_mode or params.batch_pallas):
             s_found, s_u, s_v, s_best, s_over = pallas_elliptical_search_fused(
-                frame_u8, state.patches[top_idx], u0_sel, v0_sel,
+                frame_u8, None, u0_sel, v0_sel,
                 h_sel, sinv_sel, sel_mask,
                 image_shape=(H, W), boxsize=B,
                 win_radius=params.search_win_radius,
                 no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
                 corr_sigma_thresh=params.corr_sigma_thresh,
+                patch_rows=state.patch_rows[top_idx],
             )
             search = correlate.SearchResult(
                 found=s_found, u=s_u, v=s_v, best=s_best, overflow=s_over
@@ -557,9 +558,10 @@ def make_step(params: Params, dtype=jnp.float64):
                 # one fused VMEM-resident kernel (box sums + cross-corr +
                 # NSSD + penalty); bit-identical to the XLA f32 map
                 corr_maps = pallas_score_maps(
-                    frame_u8, s.patches[pidx], boxsize=B,
+                    frame_u8, None, boxsize=B,
                     corr_sigma_thresh=params.corr_sigma_thresh,
                     low_sigma_penalty=params.low_sigma_penalty,
+                    patch_rows=s.patch_rows[pidx],
                 ).astype(dtype)
             else:
                 fsums_p = correlate.frame_sums(frame_u8, B)
@@ -592,7 +594,18 @@ def make_step(params: Params, dtype=jnp.float64):
                 ),
             )
 
-        if "heavy" in _ABLATE_FORCE:
+        # Fast single-stream mode runs the particle branch EVERY frame with
+        # `making` as data instead of gating it behind lax.cond: the body is
+        # an exact no-op when no partial feature is measurable (masked
+        # kernels; sell-by/convert gates all false), and the device-time
+        # ablation measured the ungated form at no extra cost — the cond
+        # boundary is a scheduling barrier worth as much as the body
+        # (BENCH_SUITE.md). Decisions identical either way; f64 parity and
+        # batch modes keep the cond (f64 body cost is real there).
+        heavy_always = (
+            fast_mode and params.use_pallas and not params.batch_mode
+        ) or ("heavy" in _ABLATE_FORCE)
+        if heavy_always:
             mid_state, did_convert, n_p_overflow, (par_h, par_sinv, par_alive) = heavy(
                 mid_state
             )
