@@ -193,7 +193,7 @@ def _score_map_kernel_whole(smem_ref, img_ref, out_ref, *, B, H, W, pad_h,
 @functools.partial(
     jax.jit,
     static_argnames=("boxsize", "corr_sigma_thresh", "low_sigma_penalty",
-                     "interpret", "force_banded"),
+                     "interpret", "force_banded", "return_padded"),
 )
 def pallas_score_maps(
     frame_u8: jnp.ndarray,     # [H,W]
@@ -205,6 +205,11 @@ def pallas_score_maps(
     force_banded: bool = False,
     patch_rows: jnp.ndarray | None = None,  # [F,128] precomputed SMEM rows
                                             # (state.patch_row layout)
+    img_f32: jnp.ndarray | None = None,     # shared padded f32 frame (>= the
+                                            # pad this wrapper would build)
+    return_padded: bool = False,            # skip the [:H,:W] slice (cells
+                                            # beyond H/W hold 1e6, never read
+                                            # by the masked consumers)
 ) -> jnp.ndarray:
     """Penalized NSSD score map for every patch: [F,H,W] f32."""
     if interpret is None:
@@ -232,11 +237,21 @@ def pallas_score_maps(
     # whole-frame kernel while its ~26 live temporaries fit scoped VMEM
     # (15MB/26 per buffer); banded (BAND+16-row blocks) above that
     if not force_banded and _round_up(H, 8) * pad_w * 4 * 26 < 15_000_000:
-        pad_h = _round_up(H, 8)
-        img = jnp.pad(frame_u8.astype(jnp.float32), ((0, pad_h - H), (0, pad_w - W)))
+        if img_f32 is not None:
+            # shared padded frame (possibly taller/wider than this wrapper
+            # would build — the kernel's H/W validity mask is unaffected,
+            # and the rolls wrap over zero padding that never enters a
+            # valid centre's window)
+            img = img_f32
+            pad_hw, pad_ww = img.shape
+            assert pad_hw >= _round_up(H, 8) and pad_ww >= pad_w
+        else:
+            pad_hw = _round_up(H, 8)
+            pad_ww = pad_w
+            img = jnp.pad(frame_u8.astype(jnp.float32), ((0, pad_hw - H), (0, pad_ww - W)))
         kernel = functools.partial(
             _score_map_kernel_whole,
-            B=B, H=H, W=W, pad_h=pad_h, pad_w=pad_w,
+            B=B, H=H, W=W, pad_h=pad_hw, pad_w=pad_ww,
             corr_sigma_thresh=corr_sigma_thresh,
             low_sigma_penalty=low_sigma_penalty,
         )
@@ -246,14 +261,14 @@ def pallas_score_maps(
             in_specs=[
                 pl.BlockSpec((1, 1, 128), lambda f: (f, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((pad_h, pad_w), lambda f: (0, 0),
+                pl.BlockSpec((pad_hw, pad_ww), lambda f: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, pad_h, pad_w), lambda f: (f, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((F, pad_h, pad_w), jnp.float32),
+            out_specs=pl.BlockSpec((1, pad_hw, pad_ww), lambda f: (f, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((F, pad_hw, pad_ww), jnp.float32),
             interpret=interpret,
         )(smem, img)
-        return out[:, :H, :W]
+        return out if return_padded else out[:, :H, :W]
 
     n_bands = -(-H // _BAND)
     in_rows = _BAND + _HALO
@@ -288,4 +303,4 @@ def pallas_score_maps(
         out_shape=jax.ShapeDtypeStruct((F, n_bands * _BAND, pad_w), jnp.float32),
         interpret=interpret,
     )(starts_j, smem, img)
-    return out[:, :H, :W]
+    return out if return_padded else out[:, :H, :W]

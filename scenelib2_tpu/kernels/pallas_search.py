@@ -237,6 +237,25 @@ def pallas_elliptical_search(
     return found, u, v, best, over & active
 
 
+def fused_search_img_pad(image_shape, boxsize: int = 11, win_radius: int = 32):
+    """(pad_h, pad_w) of the padded f32 frame this wrapper builds — for
+    callers that share one padded frame across the image kernels."""
+    H, W = image_shape
+    B = boxsize
+    side_u = min(2 * win_radius + 1, W - B + 1)
+    side_v = min(2 * win_radius + 1, H - B + 1)
+    sw_u = side_u + B - 1
+    sw_v = side_v + B - 1
+    blk_u = _round_up(sw_u, 128) + 128
+    blk_v = _round_up(sw_v, 8) + 8
+    va_max = ((H - sw_v) // 8) * 8
+    ua_max = ((W - sw_u) // 128) * 128
+    return (
+        max(_round_up(H, 8), va_max + blk_v),
+        max(_round_up(W, 128), ua_max + blk_u),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("boxsize", "win_radius", "no_sigma", "corr_thresh2",
@@ -258,6 +277,8 @@ def pallas_elliptical_search_fused(
     corr_sigma_thresh: float = 10.0,
     interpret: bool | None = None,
     patch_rows: jnp.ndarray | None = None,  # [K,128] precomputed SMEM rows
+    img_f32: jnp.ndarray | None = None,     # shared padded f32 frame
+                                            # (>= fused_search_img_pad dims)
 ):
     """pallas_elliptical_search without the host-graph window gather.
 
@@ -293,9 +314,13 @@ def pallas_elliptical_search_fused(
     ua_max = ((W - sw_u) // 128) * 128
     pad_h_img = max(_round_up(H, 8), va_max + blk_v)
     pad_w_img = max(_round_up(W, 128), ua_max + blk_u)
-    img = jnp.pad(
-        frame_u8.astype(jnp.float32), ((0, pad_h_img - H), (0, pad_w_img - W))
-    )
+    if img_f32 is not None:
+        assert img_f32.shape[0] >= pad_h_img and img_f32.shape[1] >= pad_w_img
+        img = img_f32
+    else:
+        img = jnp.pad(
+            frame_u8.astype(jnp.float32), ((0, pad_h_img - H), (0, pad_w_img - W))
+        )
 
     vs = v0 - half
     us = u0 - half

@@ -325,7 +325,7 @@ def _kernel(smem_ref, corr_ref, pred_ref, pl_ref, *rest,
     static_argnames=("win_radius", "no_sigma", "corr_thresh2",
                      "prune_prob_thresh", "sd_depth_ratio", "min_particles",
                      "erase_partial_after_attempts", "image_shape",
-                     "interpret"),
+                     "interpret", "corr_padded"),
 )
 def pallas_search_bayes(
     corr_maps: jnp.ndarray,       # [F,H,W] f32 penalized score maps
@@ -346,6 +346,7 @@ def pallas_search_bayes(
     erase_partial_after_attempts: int = 10,
     interpret: bool | None = None,
     pidx: jnp.ndarray | None = None,  # [] i32: full-width mode (F must be 1)
+    corr_padded: bool = False,
 ):
     """Returns (prob_f, palive_f bool, mean [F], cov [F], convert [F] bool,
     kill [F] bool, n_over [F] i32, found [F,NP] bool, z [F,NP,2],
@@ -372,15 +373,21 @@ def pallas_search_bayes(
     NP_pad = max(_round_up(NP, 128), 128)
     P_sub = _round_up(NP, 8)
     H, W = image_shape
-    H_pad = _round_up(H, 8)
-    W_pad = _round_up(W, 128)
-    assert corr_maps.shape == (F, H, W), corr_maps.shape
     assert pred_rows.shape[1:] == (8, NP_pad), pred_rows.shape
-
-    corr_p = jnp.pad(
-        corr_maps.astype(jnp.float32),
-        ((0, 0), (0, H_pad - H), (0, W_pad - W)),
-    )
+    if corr_padded:
+        # pre-padded map (pallas_score_maps return_padded=True): cells beyond
+        # H/W are never read — the scan bounds clamp to [0,H)x[0,W)
+        H_pad, W_pad = corr_maps.shape[1:]
+        assert H_pad >= _round_up(H, 8) and W_pad >= _round_up(W, 128)
+        corr_p = corr_maps
+    else:
+        H_pad = _round_up(H, 8)
+        W_pad = _round_up(W, 128)
+        assert corr_maps.shape == (F, H, W), corr_maps.shape
+        corr_p = jnp.pad(
+            corr_maps.astype(jnp.float32),
+            ((0, 0), (0, H_pad - H), (0, W_pad - W)),
+        )
 
     def pad(x):
         return jnp.pad(x.astype(jnp.float32), ((0, 0), (0, NP_pad - NP)))

@@ -963,12 +963,16 @@ def _match_partial_features(state: SlamState, corr_maps,
         if fused_sb:
             # full-width mode: the kernel picks row pidx in-kernel and hands
             # back whole prob/palive arrays (pass-through for other rows) —
-            # no gather/scatter around the call
+            # no gather/scatter around the call. corr_maps may arrive still
+            # padded (pallas_score_maps return_padded) — skip the re-pad.
+            pre_padded = corr_maps.shape[1:] != (
+                params.cam_height, params.cam_width
+            )
             (prob_full, palive_full, mean, cov, convert_mask, kill_c,
              n_over_slot, _found, _z, _best) = pallas_search_bayes(
                 corr_maps.astype(jnp.float32), pred_raw, state.prob,
                 state.lam, state.palive, making, pmask, match_attempts[pidx],
-                pidx=pidx[0], **kw,
+                pidx=pidx[0], corr_padded=pre_padded, **kw,
             )
         else:
             (prob_f, palive_f, mean, cov, convert_mask, kill_c, n_over_slot,
