@@ -27,26 +27,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _st_kernel(offs_ref, smem_ref, win_ref, out_ref, *, B, W, H, blk_v, blk_u,
-               pad_v, pad_u, region_w, region_h):
-    """offs_ref (prefetch [2] i32): aligned block (row, lane) origin.
-    smem_ref (SMEM [1,8]) f32: ustart vstart ufinish vfinish u0 v0 dv du.
-    win_ref (VMEM [blk_v, blk_u]): f32 frame block. out_ref (VMEM [8,128]):
-    row 0 lanes 0..2 = ubest, vbest, evbest."""
+def st_region_body(w, ustart, vstart, ufinish, vfinish, u0, v0, *, B, W, H,
+                   pad_v, pad_u, region_w, region_h):
+    """Shared Shi-Tomasi region scan on an origin-aligned window w
+    [pad_v, pad_u] whose (0,0) is image pixel (v0-off, u0-off). Returns
+    (best eigenvalue, kbest scan-order key) scalars. Used by the standalone
+    region kernel and the fused auto-init proposal kernel
+    (pallas_propose.py)."""
     half = (B - 1) // 2
     off = 1 + half
-    ustart = smem_ref[0, 0]
-    vstart = smem_ref[0, 1]
-    ufinish = smem_ref[0, 2]
-    vfinish = smem_ref[0, 3]
-    u0 = smem_ref[0, 4].astype(jnp.int32)
-    v0 = smem_ref[0, 5].astype(jnp.int32)
-    dv = smem_ref[0, 6].astype(jnp.int32)
-    du = smem_ref[0, 7].astype(jnp.int32)
-
-    w = win_ref[...]
-    w = pltpu.roll(w, blk_u - du, 1)[:, :pad_u]
-    w = pltpu.roll(w, blk_v - dv, 0)[:pad_v, :]        # origin = (v0-off, u0-off)
 
     def shift(x, dy, dx):
         if dy:
@@ -96,6 +85,33 @@ def _st_kernel(offs_ref, smem_ref, win_ref, out_ref, *, B, W, H, blk_v, blk_u,
     key = vv * jnp.int32(W) + uu                       # scan order (v outer)
     tie = (vals == best) & mask
     kbest = jnp.min(jnp.where(tie, key, jnp.int32(2**31 - 1)))
+    return best, kbest
+
+
+def _st_kernel(offs_ref, smem_ref, win_ref, out_ref, *, B, W, H, blk_v, blk_u,
+               pad_v, pad_u, region_w, region_h):
+    """offs_ref (prefetch [2] i32): aligned block (row, lane) origin.
+    smem_ref (SMEM [1,8]) f32: ustart vstart ufinish vfinish u0 v0 dv du.
+    win_ref (VMEM [blk_v, blk_u]): f32 frame block. out_ref (VMEM [8,128]):
+    row 0 lanes 0..2 = ubest, vbest, evbest."""
+    ustart = smem_ref[0, 0]
+    vstart = smem_ref[0, 1]
+    ufinish = smem_ref[0, 2]
+    vfinish = smem_ref[0, 3]
+    u0 = smem_ref[0, 4].astype(jnp.int32)
+    v0 = smem_ref[0, 5].astype(jnp.int32)
+    dv = smem_ref[0, 6].astype(jnp.int32)
+    du = smem_ref[0, 7].astype(jnp.int32)
+
+    w = win_ref[...]
+    w = pltpu.roll(w, blk_u - du, 1)[:, :pad_u]
+    w = pltpu.roll(w, blk_v - dv, 0)[:pad_v, :]        # origin = (v0-off, u0-off)
+
+    best, kbest = st_region_body(
+        w, ustart, vstart, ufinish, vfinish, u0, v0,
+        B=B, W=W, H=H, pad_v=pad_v, pad_u=pad_u,
+        region_w=region_w, region_h=region_h,
+    )
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     rowi = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)

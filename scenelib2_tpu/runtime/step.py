@@ -48,6 +48,7 @@ from scenelib2_tpu.kernels.pallas_particle import (
 )
 from scenelib2_tpu.kernels.pallas_score_map import pallas_score_maps
 from scenelib2_tpu.kernels.pallas_search import (
+    fused_search_img_pad,
     gather_windows_u8,
     pallas_elliptical_search,
     pallas_elliptical_search_fused,
@@ -354,6 +355,18 @@ def make_step(params: Params, dtype=jnp.float64):
         u0_sel, v0_sel, _, _ = correlate.search_window_origin(
             h_sel, params.search_win_radius, W, H, B, round_half=True
         )
+        img32 = None
+        if fast_kpath and not params.batch_mode:
+            # ONE padded f32 frame shared by every image kernel this frame
+            # (each wrapper otherwise pads its own copy)
+            ph1, pw1 = fused_search_img_pad(
+                (H, W), boxsize=B, win_radius=params.search_win_radius
+            )
+            ph = max(ph1, (H + 7) // 8 * 8)
+            pw = max(pw1, (W + 127) // 128 * 128)
+            img32 = jnp.pad(
+                frame_u8.astype(jnp.float32), ((0, ph - H), (0, pw - W))
+            )
         if params.use_pallas and (not params.batch_mode or params.batch_pallas):
             s_found, s_u, s_v, s_best, s_over = pallas_elliptical_search_fused(
                 frame_u8, None, u0_sel, v0_sel,
@@ -363,6 +376,7 @@ def make_step(params: Params, dtype=jnp.float64):
                 no_sigma=params.no_sigma, corr_thresh2=params.corr_thresh2,
                 corr_sigma_thresh=params.corr_sigma_thresh,
                 patch_rows=state.patch_rows[top_idx],
+                img_f32=img32,
             )
             search = correlate.SearchResult(
                 found=s_found, u=s_u, v=s_v, best=s_best, overflow=s_over
@@ -532,12 +546,14 @@ def make_step(params: Params, dtype=jnp.float64):
             # device-time deltas measure the branch's marginal cost with
             # decisions unchanged
             mid_state, did_init, init_box = _auto_initialise(
-                mid_state, frame_u8, cam, params, lam0, want_init
+                mid_state, frame_u8, cam, params, lam0, want_init, img32
             )
         else:
             mid_state, did_init, init_box = lax.cond(
                 want_init,
-                lambda s: _auto_initialise(s, frame_u8, cam, params, lam0, jnp.asarray(True)),
+                lambda s: _auto_initialise(
+                    s, frame_u8, cam, params, lam0, jnp.asarray(True), img32
+                ),
                 lambda s: (s, jnp.asarray(False), jnp.zeros(2, jnp.int32)),
                 mid_state,
             )
@@ -562,6 +578,8 @@ def make_step(params: Params, dtype=jnp.float64):
                     corr_sigma_thresh=params.corr_sigma_thresh,
                     low_sigma_penalty=params.low_sigma_penalty,
                     patch_rows=s.patch_rows[pidx],
+                    img_f32=img32,
+                    return_padded=not params.batch_mode,
                 ).astype(dtype)
             else:
                 fsums_p = correlate.frame_sums(frame_u8, B)
@@ -651,13 +669,55 @@ def make_step(params: Params, dtype=jnp.float64):
 
 
 def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Params,
-                     lam0, want_init):
+                     lam0, want_init, img32=None):
     MF = params.max_features
     B = params.boxsize
     half = (B - 1) // 2
     W, H = params.cam_width, params.cam_height
     RW, RH = params.init_search_width, params.init_search_height
     x = state.x
+
+    if x.dtype == jnp.float32 and params.use_pallas and not params.batch_mode:
+        # the WHOLE proposal chain (rollforward, future-point projection,
+        # safe box, occupancy projections, drand48 draws, region tries,
+        # Shi-Tomasi) as ONE kernel — it was ~500 compiled ops of mostly
+        # scalar math (pallas_propose.py; op-for-op f32 mirror, verified
+        # against this XLA chain in tests/test_pallas_propose.py)
+        from scenelib2_tpu.kernels.pallas_propose import pallas_propose_init
+
+        if img32 is None:
+            from scenelib2_tpu.kernels.pallas_search import fused_search_img_pad
+
+            ph1, pw1 = fused_search_img_pad(
+                (H, W), boxsize=B, win_radius=params.search_win_radius
+            )
+            img32 = jnp.pad(
+                frame_u8.astype(jnp.float32),
+                ((0, ph1 - H), (0, pw1 - W)),
+            )
+        (region_us, region_vs, any_ok, ubest, vbest, evbest,
+         rng_new) = pallas_propose_init(
+            img32, x, state.rng, state.active & state.full, want_init,
+            image_shape=(H, W), region_w_cfg=RW, region_h_cfg=RH, boxsize=B,
+            tries=params.init_region_tries, sep=params.feature_separation_min,
+            dtN=params.init_steps_to_predict * params.delta_t,
+            depth=params.init_depth_hypothesis,
+            cam_static=(cam.fku, cam.fkv, cam.u0, cam.v0, cam.kd1),
+        )
+        state = state._replace(rng=rng_new)
+        do_init = any_ok & (evbest > params.init_patch_score_thresh)
+
+        def _insert_k(s: SlamState) -> SlamState:
+            patch = lax.dynamic_slice(
+                frame_u8, (vbest - half, ubest - half), (B, B)
+            )
+            z = jnp.stack([ubest, vbest]).astype(x.dtype)
+            return st.add_partial_feature(
+                s, cam, z, patch, lam0, do_init, onehot=False
+            )
+
+        state = lax.cond(do_init, _insert_k, lambda s: s, state)
+        return state, do_init, jnp.stack([region_us, region_vs]).astype(jnp.int32)
 
     # roll the motion model forward (monoslam.cpp:880-883); unrolled — a
     # 10-iteration lax.scan of 13-dim ops costs ~0.8 ms/frame as a TPU while.
