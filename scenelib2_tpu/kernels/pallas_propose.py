@@ -7,8 +7,10 @@ arithmetic, per-slot occupancy projections, drand48 draws, the 5-try random
 region search — followed by the (already-kerneled) Shi-Tomasi scan. This
 kernel runs the WHOLE chain in one dispatch: the scalar geometry on the
 scalar core, the occupancy projections lane-parallel over feature slots,
-the LCG draws as in-kernel integer limb math, and the Shi-Tomasi region
-scan via the shared st_region_body.
+the LCG draws as in-kernel integer limb math. The Shi-Tomasi scan of the
+picked region stays in the separate Element-DMA'd pallas_shi_tomasi_region
+kernel: a whole-frame VMEM operand here would cost ~20us of block DMA per
+invocation (measured), while the split pair fetches only the 90KB window.
 
 Exactness: every f32 expression mirrors the XLA fast-mode chain op for op
 (quaternion product / rotation formulas from core/quaternion.py, the camera
@@ -31,14 +33,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from scenelib2_tpu.kernels.pallas_shi_tomasi import st_region_body
 
 _A48 = 0x5DEECE66D
 _C48 = 0xB
 
 # output lane layout ([1,128] f32)
-(L_REG_US, L_REG_VS, L_ANY_OK, L_UBEST, L_VBEST, L_EVBEST,
- L_RNG0, L_RNG1, L_RNG2, L_ROOM) = range(10)
+(L_REG_US, L_REG_VS, L_ANY_OK, L_RNG0, L_RNG1, L_RNG2, L_ROOM) = range(7)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -79,13 +79,11 @@ def _project(z0, z1, z2, *, fku, fkv, u0c, v0c, kd1):
     return uc0 / factor + u0c, uc1 / factor + v0c
 
 
-def _kernel(smem_ref, ys_ref, img_ref, out_ref, *, MF, W, H, RW, RH, B,
-            tries, sep, dtN, depth, fku, fkv, u0c, v0c, kd1,
-            pad_v, pad_u, blk_v, region_w, region_h):
+def _kernel(smem_ref, ys_ref, out_ref, *, MF, W, H, RW, RH, B,
+            tries, sep, dtN, depth, fku, fkv, u0c, v0c, kd1):
     """smem_ref (SMEM [1,32]) f32: 0..12 xv, 13..15 rng limbs, 16 want flag.
     ys_ref (VMEM [4, MF_pad]): rows 0..2 slot y components, row 3
-    active&full. img_ref (VMEM [ph, pw]): shared padded f32 frame.
-    out_ref (VMEM [1,128]): L_* lane layout."""
+    active&full. out_ref (VMEM [1,128]): L_* lane layout."""
     half = (B - 1) // 2
     off = 1 + half
 
@@ -236,37 +234,6 @@ def _kernel(smem_ref, ys_ref, img_ref, out_ref, *, MF, W, H, RW, RH, B,
             )
         rng_out.append(cur)
 
-    # ---- Shi-Tomasi scan of the picked region (shared body) ----
-    ru = jnp.maximum(region_us, float(half + 1))
-    ruf = jnp.minimum(region_us + float(RW), float(W - half - 1))
-    rv = jnp.maximum(region_vs, float(half + 1))
-    rvf = jnp.minimum(region_vs + float(RH), float(H - half - 1))
-    u0s = jnp.clip(ru, float(off), float(W - region_w - off)).astype(jnp.int32)
-    v0s = jnp.clip(rv, float(off), float(H - region_h - off)).astype(jnp.int32)
-
-    vs_w = v0s - off
-    us_w = u0s - off
-    # sane inputs keep these clamps no-ops; they only guard the slice when
-    # upstream NaNs (degenerate states) produce garbage indices — the XLA
-    # path's dynamic_slice clamps the same way
-    ph = img_ref.shape[0]
-    pw = img_ref.shape[1]
-    us_w = jnp.clip(us_w, 0, pw - pad_u)
-    va = jnp.clip((vs_w // 8) * 8, 0, (ph - blk_v) // 8 * 8)
-    w = img_ref[pl.ds(pl.multiple_of(va, 8), blk_v), :]
-    w = pltpu.roll(w, pw - us_w, 1)[:, :pad_u]
-    w = pltpu.roll(w, blk_v - (vs_w - va), 0)[:pad_v, :]
-
-    best, kbest = st_region_body(
-        w, ru, rv, ruf, rvf, u0s, v0s,
-        B=B, W=W, H=H, pad_v=pad_v, pad_u=pad_u,
-        region_w=region_w, region_h=region_h,
-    )
-    st_found = best > 0.0
-    ubest = jnp.where(st_found, (kbest % W).astype(jnp.float32), ru)
-    vbest = jnp.where(st_found, (kbest // W).astype(jnp.float32), rv)
-    evbest = jnp.where(st_found, best, 0.0)
-
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     zero = jnp.zeros((1, 128), jnp.float32)
 
@@ -277,9 +244,6 @@ def _kernel(smem_ref, ys_ref, img_ref, out_ref, *, MF, W, H, RW, RH, B,
         put(L_REG_US, region_us)
         + put(L_REG_VS, region_vs)
         + put(L_ANY_OK, jnp.where(any_ok, 1.0, 0.0))
-        + put(L_UBEST, ubest)
-        + put(L_VBEST, vbest)
-        + put(L_EVBEST, evbest)
         + put(L_RNG0, rng_out[0])
         + put(L_RNG1, rng_out[1])
         + put(L_RNG2, rng_out[2])
@@ -294,7 +258,6 @@ def _kernel(smem_ref, ys_ref, img_ref, out_ref, *, MF, W, H, RW, RH, B,
                      "interpret"),
 )
 def pallas_propose_init(
-    img_f32: jnp.ndarray,    # shared padded f32 frame [ph, pw]
     x: jnp.ndarray,          # [D] state (camera part read)
     rng: jnp.ndarray,        # [3] u32 drand48 limbs
     occ_flags: jnp.ndarray,  # [MF] bool: active & full
@@ -310,28 +273,16 @@ def pallas_propose_init(
     cam_static=(195.0, 195.0, 162.0, 125.0, 9e-6),
     interpret: bool | None = None,
 ):
-    """Returns (region_us, region_vs [i32], any_ok [bool], ubest, vbest
-    [i32], evbest [f32], rng_new [3 u32]) — the _auto_initialise proposal
-    chain outputs."""
+    """Returns (region_us, region_vs [i32], any_ok [bool], rng_new [3 u32])
+    — the _auto_initialise region-proposal outputs; the caller feeds the
+    region to pallas_shi_tomasi_region for the patch pick."""
     if interpret is None:
         from scenelib2_tpu.kernels.compat import default_interpret
 
         interpret = default_interpret()
     H, W = image_shape
     B = boxsize
-    half = (B - 1) // 2
-    off = 1 + half
-    region_w = min(region_w_cfg, W - 2 * off)
-    region_h = min(region_h_cfg, H - 2 * off)
-    sw_v = region_h + 2 * off
-    sw_u = region_w + 2 * off
-    pad_v = _round_up(sw_v, 8)
-    pad_u = _round_up(sw_u, 128)
-    blk_v = pad_v + 8
     MF = occ_flags.shape[0]
-    MF_pad = max(_round_up(MF, 1), 1)
-    assert img_f32.shape[0] >= ((H - region_h - 2 * off) // 8) * 8 + blk_v
-    assert img_f32.shape[1] >= pad_u + 128  # roll headroom for us_w <= W
 
     fku, fkv, u0c, v0c, kd1 = cam_static
     smem = jnp.zeros((1, 32), jnp.float32)
@@ -350,8 +301,7 @@ def pallas_propose_init(
         MF=MF, W=W, H=H, RW=region_w_cfg, RH=region_h_cfg, B=B,
         tries=tries, sep=sep, dtN=float(dtN), depth=float(depth),
         fku=float(fku), fkv=float(fkv), u0c=float(u0c), v0c=float(v0c),
-        kd1=float(kd1), pad_v=pad_v, pad_u=pad_u, blk_v=blk_v,
-        region_w=region_w, region_h=region_h,
+        kd1=float(kd1),
     )
     out = pl.pallas_call(
         kernel,
@@ -359,20 +309,16 @@ def pallas_propose_init(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
         interpret=interpret,
-    )(smem, ys_rows, img_f32)
+    )(smem, ys_rows)
 
     row = out[0]
     return (
         row[L_REG_US].astype(jnp.int32),
         row[L_REG_VS].astype(jnp.int32),
         row[L_ANY_OK] > 0.0,
-        row[L_UBEST].astype(jnp.int32),
-        row[L_VBEST].astype(jnp.int32),
-        row[L_EVBEST],
         jnp.stack([row[L_RNG0], row[L_RNG1], row[L_RNG2]]).astype(jnp.uint32),
     )

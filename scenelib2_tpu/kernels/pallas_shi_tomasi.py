@@ -136,6 +136,7 @@ def pallas_shi_tomasi_region(
     region_w: int = 80,
     region_h: int = 60,
     interpret: bool | None = None,
+    img_f32: jnp.ndarray | None = None,   # shared padded f32 frame
 ):
     """Returns (ubest, vbest, evbest) with find_best_patch_in_image_window
     semantics (f32 eigenvalues; fast mode only)."""
@@ -163,9 +164,13 @@ def pallas_shi_tomasi_region(
     ua_max = ((W - sw_u) // 128) * 128
     pad_h_img = max(_round_up(H, 8), va_max + blk_v)
     pad_w_img = max(_round_up(W, 128), ua_max + blk_u)
-    img = jnp.pad(
-        frame_u8.astype(jnp.float32), ((0, pad_h_img - H), (0, pad_w_img - W))
-    )
+    if img_f32 is not None:
+        assert img_f32.shape[0] >= pad_h_img and img_f32.shape[1] >= pad_w_img
+        img = img_f32
+    else:
+        img = jnp.pad(
+            frame_u8.astype(jnp.float32), ((0, pad_h_img - H), (0, pad_w_img - W))
+        )
 
     vs = v0 - off
     us = u0 - off

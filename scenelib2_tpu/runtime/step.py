@@ -684,20 +684,12 @@ def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Para
         # scalar math (pallas_propose.py; op-for-op f32 mirror, verified
         # against this XLA chain in tests/test_pallas_propose.py)
         from scenelib2_tpu.kernels.pallas_propose import pallas_propose_init
+        from scenelib2_tpu.kernels.pallas_shi_tomasi import (
+            pallas_shi_tomasi_region,
+        )
 
-        if img32 is None:
-            from scenelib2_tpu.kernels.pallas_search import fused_search_img_pad
-
-            ph1, pw1 = fused_search_img_pad(
-                (H, W), boxsize=B, win_radius=params.search_win_radius
-            )
-            img32 = jnp.pad(
-                frame_u8.astype(jnp.float32),
-                ((0, ph1 - H), (0, pw1 - W)),
-            )
-        (region_us, region_vs, any_ok, ubest, vbest, evbest,
-         rng_new) = pallas_propose_init(
-            img32, x, state.rng, state.active & state.full, want_init,
+        region_us, region_vs, any_ok, rng_new = pallas_propose_init(
+            x, state.rng, state.active & state.full, want_init,
             image_shape=(H, W), region_w_cfg=RW, region_h_cfg=RH, boxsize=B,
             tries=params.init_region_tries, sep=params.feature_separation_min,
             dtN=params.init_steps_to_predict * params.delta_t,
@@ -705,6 +697,16 @@ def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Para
             cam_static=(cam.fku, cam.fkv, cam.u0, cam.v0, cam.kd1),
         )
         state = state._replace(rng=rng_new)
+        # patch pick on the picked region: the separate Element-DMA'd kernel
+        # fetches only the ~90KB window (a whole-frame VMEM operand in the
+        # proposal kernel measured ~20us of block DMA per call)
+        ru, rv, ruf, rvf = shi_tomasi.clamp_region(
+            region_us, region_vs, region_us + RW, region_vs + RH, W, H, B
+        )
+        ubest, vbest, evbest = pallas_shi_tomasi_region(
+            frame_u8, ru, rv, ruf, rvf, boxsize=B, image_shape=(H, W),
+            region_w=RW, region_h=RH, img_f32=img32,
+        )
         do_init = any_ok & (evbest > params.init_patch_score_thresh)
 
         def _insert_k(s: SlamState) -> SlamState:
