@@ -612,16 +612,18 @@ def make_step(params: Params, dtype=jnp.float64):
                 ),
             )
 
-        # Fast single-stream mode runs the particle branch EVERY frame with
-        # `making` as data instead of gating it behind lax.cond: the body is
-        # an exact no-op when no partial feature is measurable (masked
-        # kernels; sell-by/convert gates all false), and the device-time
-        # ablation measured the ungated form at no extra cost — the cond
-        # boundary is a scheduling barrier worth as much as the body
-        # (BENCH_SUITE.md). Decisions identical either way; f64 parity and
-        # batch modes keep the cond (f64 body cost is real there).
+        # Fast single-stream SMALL-MAP mode runs the particle branch EVERY
+        # frame with `making` as data instead of gating it behind lax.cond:
+        # the body is an exact no-op when no partial feature is measurable
+        # (masked kernels; sell-by/convert gates all false), and the
+        # device-time ablation measured the ungated form at no extra cost at
+        # 320x240 — the cond boundary is a scheduling barrier worth as much
+        # as the body (BENCH_SUITE.md). At hires the always-on score map is
+        # no longer free (~45us/frame measured at 640x480/60 slots), so
+        # large-map configs keep the cond, as do f64 parity and batch modes.
         heavy_always = (
             fast_mode and params.use_pallas and not params.batch_mode
+            and CAM_DIM + SLOT_DIM * MF <= 128
         ) or ("heavy" in _ABLATE_FORCE)
         if heavy_always:
             mid_state, did_convert, n_p_overflow, (par_h, par_sinv, par_alive) = heavy(
