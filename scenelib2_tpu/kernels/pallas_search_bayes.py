@@ -47,6 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 _HI = jax.lax.Precision.HIGHEST
 
 from scenelib2_tpu.kernels.pallas_bayes import _bayes_tail
+from scenelib2_tpu.kernels.pallas_score_map import nssd_corr_f32
 
 # pred_rows layout (pallas_particle.py output)
 from scenelib2_tpu.kernels.pallas_particle import (
@@ -73,7 +74,8 @@ _MISS = 1e6             # masked-cell score sentinel (ladder's value)
 def _kernel(smem_ref, corr_ref, pred_ref, pl_ref, *rest,
             NP, NP_pad, P_sub, H, W, W_pad, win_radius, no_sigma,
             corr_thresh2, prune_prob_thresh, sd_depth_ratio, min_particles,
-            erase_partial_after_attempts, MF_pad=None):
+            erase_partial_after_attempts, MF_pad=None, compute_score=False,
+            boxsize=11, corr_sigma_thresh=10.0, low_sigma_penalty=5.0):
     if MF_pad is None:
         out_ref, cb_ref, ck_ref = rest
     else:
@@ -204,13 +206,85 @@ def _kernel(smem_ref, corr_ref, pred_ref, pl_ref, *rest,
 
     def block_body(bi, _):
         v_al = (b_lo + bi) * 8
-        block = corr_ref[0, pl.ds(v_al, 8), :]           # [8, W_pad] aligned
+        if not compute_score:
+            block = corr_ref[0, pl.ds(v_al, 8), :]       # [8, W_pad] aligned
+            corr24 = None
+            sstart = None
+        else:
+            # corr_ref holds the padded f32 FRAME; build this block's 8 rows
+            # of the penalized NSSD score map in-kernel from a 24-row slab
+            # (output row v needs image rows v-half..v+half; half=5 < 8).
+            # Exact mirror of pallas_score_map's whole-frame kernel: integer
+            # sums are order-independent-exact in f32 and the score formula
+            # is the shared nssd_corr_f32, so values are bit-identical.
+            Hp = corr_ref.shape[1]
+            half = (boxsize - 1) // 2
+            sstart = jnp.clip(v_al - 8, 0, Hp - 24)
+            slab = corr_ref[0, pl.ds(pl.multiple_of(sstart, 8), 24), :]
+            slab2 = slab * slab
+
+            def shift0(x, dy):
+                return x if dy == 0 else pltpu.roll(x, 24 - dy, 0)
+
+            def shift1(x, dx):
+                return x if dx == 0 else pltpu.roll(x, W_pad - dx, 1)
+
+            colsum = slab
+            colsum2 = slab2
+            for dy in range(1, boxsize):
+                colsum = colsum + shift0(slab, dy)
+                colsum2 = colsum2 + shift0(slab2, dy)
+            sg1 = colsum
+            sg1sq = colsum2
+            for dx in range(1, boxsize):
+                sg1 = sg1 + shift1(colsum, dx)
+                sg1sq = sg1sq + shift1(colsum2, dx)
+            cross = jnp.zeros_like(slab)
+            for dx in range(boxsize):
+                t = smem_ref[0, 1, dx] * slab
+                for dy in range(1, boxsize):
+                    t = t + smem_ref[0, 1, dy * boxsize + dx] * shift0(slab, dy)
+                cross = cross + shift1(t, dx)
+            sg0 = smem_ref[0, 1, boxsize * boxsize]
+            sg0sq = smem_ref[0, 1, boxsize * boxsize + 1]
+            corr24, _sd0, sd1 = nssd_corr_f32(
+                sg0, sg0sq, sg1, sg1sq, cross, float(boxsize * boxsize)
+            )
+            corr24 = jnp.where(
+                sd1 < corr_sigma_thresh, corr24 + low_sigma_penalty, corr24
+            )
+            uu24 = jax.lax.broadcasted_iota(jnp.int32, (24, W_pad), 1)
+            vv24 = sstart + jax.lax.broadcasted_iota(jnp.int32, (24, W_pad), 0)
+            # tl-indexed -> centre-indexed: lanes shift by half here; rows
+            # are picked per output row below at tl = v - half - sstart
+            valid24 = (
+                (uu24 >= 0) & (uu24 <= W - 1 - 2 * half)
+                & (vv24 + half >= half) & (vv24 + half <= H - 1 - half)
+            )
+            corr24 = jnp.where(valid24, corr24, _MISS)
+            corr24 = pltpu.roll(corr24, half, 1)
+            block = None
         for r8 in range(8):
             v = v_al + r8
 
             @pl.when((v >= v_lo_i) & (v < v_hi_i))
             def _(r8=r8, v=v):
-                vals = block[r8 : r8 + 1, :]             # [1, W_pad] static
+                if not compute_score:
+                    vals = block[r8 : r8 + 1, :]         # [1, W_pad] static
+                else:
+                    tl = v - (boxsize - 1) // 2 - sstart
+                    rowoh = (
+                        jax.lax.broadcasted_iota(jnp.int32, (24, W_pad), 0)
+                        == tl
+                    )
+                    picked = jnp.sum(
+                        jnp.where(rowoh, corr24, jnp.zeros_like(corr24)),
+                        axis=0, keepdims=True,
+                    )
+                    # rows whose window escapes the slab only occur at the
+                    # image top border, where the real map holds the invalid-
+                    # centre sentinel for every column
+                    vals = jnp.where(tl >= 0, picked, _MISS)
                 vf = v.astype(jnp.float32)
                 vrel_c = vf - vc_c                       # [P_sub, 1]
                 rowok_c = (vf >= vlo_c) & (vf < vhi_c)
@@ -325,7 +399,8 @@ def _kernel(smem_ref, corr_ref, pred_ref, pl_ref, *rest,
     static_argnames=("win_radius", "no_sigma", "corr_thresh2",
                      "prune_prob_thresh", "sd_depth_ratio", "min_particles",
                      "erase_partial_after_attempts", "image_shape",
-                     "interpret", "corr_padded"),
+                     "interpret", "corr_padded", "boxsize",
+                     "corr_sigma_thresh", "low_sigma_penalty"),
 )
 def pallas_search_bayes(
     corr_maps: jnp.ndarray,       # [F,H,W] f32 penalized score maps
@@ -347,6 +422,14 @@ def pallas_search_bayes(
     interpret: bool | None = None,
     pidx: jnp.ndarray | None = None,  # [] i32: full-width mode (F must be 1)
     corr_padded: bool = False,
+    patch_row: jnp.ndarray | None = None,  # [128] state.patch_row layout:
+                                # frame mode — corr_maps is the padded f32
+                                # FRAME [ph,pw] and the penalized score map
+                                # is built in-kernel over only the union-box
+                                # blocks (F must be 1)
+    boxsize: int = 11,
+    corr_sigma_thresh: float = 10.0,
+    low_sigma_penalty: float = 5.0,
 ):
     """Returns (prob_f, palive_f bool, mean [F], cov [F], convert [F] bool,
     kill [F] bool, n_over [F] i32, found [F,NP] bool, z [F,NP,2],
@@ -374,7 +457,15 @@ def pallas_search_bayes(
     P_sub = _round_up(NP, 8)
     H, W = image_shape
     assert pred_rows.shape[1:] == (8, NP_pad), pred_rows.shape
-    if corr_padded:
+    frame_mode = patch_row is not None
+    if frame_mode:
+        assert F == 1, "frame mode handles a single partial slot"
+        assert corr_maps.ndim == 2  # the padded f32 frame
+        H_pad, W_pad = corr_maps.shape
+        assert H_pad >= _round_up(H, 8) and W_pad >= _round_up(W, 128)
+        assert H_pad >= 24
+        corr_p = corr_maps[None]
+    elif corr_padded:
         # pre-padded map (pallas_score_maps return_padded=True): cells beyond
         # H/W are never read — the scan bounds clamp to [0,H)x[0,W)
         H_pad, W_pad = corr_maps.shape[1:]
@@ -399,12 +490,15 @@ def pallas_search_bayes(
         pl_rows = jnp.pad(pl_rows, ((0, 0), (0, MF_pad - MF), (0, 0)))
     else:
         pl_rows = jnp.stack([pad(prob), pad(lam), pad(palive)], axis=1)
-    smem = jnp.zeros((F, 1, 128), jnp.float32)
+    smem_rows = 2 if frame_mode else 1
+    smem = jnp.zeros((F, smem_rows, 128), jnp.float32)
     smem = smem.at[:, 0, 0].set(making.astype(jnp.float32))
     smem = smem.at[:, 0, 1].set(pmask.astype(jnp.float32))
     smem = smem.at[:, 0, 2].set(match_attempts.astype(jnp.float32))
     if full:
         smem = smem.at[0, 0, 3].set(pidx.astype(jnp.float32))
+    if frame_mode:
+        smem = smem.at[0, 1, :].set(patch_row.astype(jnp.float32))
 
     kernel = functools.partial(
         _kernel,
@@ -415,9 +509,13 @@ def pallas_search_bayes(
         min_particles=min_particles,
         erase_partial_after_attempts=erase_partial_after_attempts,
         MF_pad=MF_pad if full else None,
+        compute_score=frame_mode, boxsize=boxsize,
+        corr_sigma_thresh=float(corr_sigma_thresh),
+        low_sigma_penalty=float(low_sigma_penalty),
     )
     in_specs = [
-        pl.BlockSpec((1, 1, 128), lambda f: (f, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, smem_rows, 128), lambda f: (f, 0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec((1, H_pad, W_pad), lambda f: (f, 0, 0)),
         pl.BlockSpec((1, 8, NP_pad), lambda f: (f, 0, 0)),
         (

@@ -570,7 +570,13 @@ def make_step(params: Params, dtype=jnp.float64):
         )
 
         def heavy(s: SlamState):
-            if params.use_pallas and fast_mode and (not params.batch_mode or params.batch_pallas):
+            if (params.use_pallas and fast_mode and not params.batch_mode
+                    and MAXP == 1):
+                # frame mode: the fused search+bayes kernel builds the
+                # penalized score map in-kernel over ONLY the union-box
+                # blocks — no whole-frame score kernel at all
+                corr_maps = img32
+            elif params.use_pallas and fast_mode and (not params.batch_mode or params.batch_pallas):
                 # one fused VMEM-resident kernel (box sums + cross-corr +
                 # NSSD + penalty); bit-identical to the XLA f32 map
                 corr_maps = pallas_score_maps(
@@ -1027,16 +1033,23 @@ def _match_partial_features(state: SlamState, corr_maps,
         if fused_sb:
             # full-width mode: the kernel picks row pidx in-kernel and hands
             # back whole prob/palive arrays (pass-through for other rows) —
-            # no gather/scatter around the call. corr_maps may arrive still
-            # padded (pallas_score_maps return_padded) — skip the re-pad.
-            pre_padded = corr_maps.shape[1:] != (
+            # no gather/scatter around the call. corr_maps is either the
+            # padded f32 FRAME (frame mode: the kernel builds the penalized
+            # score map in-kernel over the union-box blocks only) or a
+            # possibly-padded precomputed score map.
+            frame_mode = corr_maps.ndim == 2
+            pre_padded = (not frame_mode) and corr_maps.shape[1:] != (
                 params.cam_height, params.cam_width
             )
             (prob_full, palive_full, mean, cov, convert_mask, kill_c,
              n_over_slot, _found, _z, _best) = pallas_search_bayes(
                 corr_maps.astype(jnp.float32), pred_raw, state.prob,
                 state.lam, state.palive, making, pmask, match_attempts[pidx],
-                pidx=pidx[0], corr_padded=pre_padded, **kw,
+                pidx=pidx[0], corr_padded=pre_padded,
+                patch_row=state.patch_rows[pidx[0]] if frame_mode else None,
+                boxsize=params.boxsize,
+                corr_sigma_thresh=params.corr_sigma_thresh,
+                low_sigma_penalty=params.low_sigma_penalty, **kw,
             )
         else:
             (prob_f, palive_f, mean, cov, convert_mask, kill_c, n_over_slot,

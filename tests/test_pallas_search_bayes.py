@@ -223,3 +223,57 @@ def test_full_width_mode_matches_compact():
     for k in range(2, 7):
         np.testing.assert_array_equal(np.asarray(full[k]), np.asarray(compact[k]))
     np.testing.assert_array_equal(np.asarray(full[7]), np.asarray(compact[7]))
+
+
+def test_frame_mode_matches_precomputed_score_map():
+    """Frame mode (in-kernel banded score) vs score_maps -> corr mode."""
+    from scenelib2_tpu.kernels.pallas_score_map import pallas_score_maps
+
+    rng = np.random.default_rng(321)
+    frame = rng.integers(0, 255, (H, W)).astype(np.uint8)
+    patch = rng.integers(0, 255, (11, 11)).astype(np.uint8)
+    from scenelib2_tpu.runtime.state import patch_row as mk_patch_row
+
+    prow = mk_patch_row(jnp.asarray(patch))
+    corr = pallas_score_maps(
+        jnp.asarray(frame), jnp.asarray(patch)[None], boxsize=11,
+        interpret=True,
+    )
+    img32 = jnp.pad(jnp.asarray(frame, jnp.float32), ((0, 8), (0, 64)))
+
+    MF = 16
+    for seed, spread in ((5, False), (6, True), (9, False)):
+        s = _scenario(seed, spread=spread, dead_frac=0.2 if spread else 0.0)
+        pred = _pred_rows(
+            np.asarray(s["hpi"]), np.asarray(s["sinv"]), np.asarray(s["dets"]),
+            128,
+        )
+        prob_full = np.zeros((MF, NP), np.float32)
+        lam_full = np.zeros((MF, NP), np.float32)
+        palive_full = np.zeros((MF, NP), bool)
+        pidx = 3
+        prob_full[pidx] = np.asarray(s["prob"])[0]
+        lam_full[pidx] = np.asarray(s["lam"])[0]
+        palive_full[pidx] = np.asarray(s["palive"])[0]
+        common = dict(
+            image_shape=(H, W), win_radius=s["win_radius"], no_sigma=NO_SIGMA,
+            corr_thresh2=THRESH, interpret=True, pidx=jnp.int32(pidx),
+        )
+        args = (pred, jnp.asarray(prob_full), jnp.asarray(lam_full),
+                jnp.asarray(palive_full), s["making"], s["pmask"],
+                s["attempts"])
+        ref = pallas_search_bayes(corr, *args, **common)
+        got = pallas_search_bayes(
+            img32, *args, patch_row=prow, boxsize=11, **common
+        )
+        # search decisions exact; continuous values ULP-tolerance (the score
+        # formula compiles in two different kernel contexts)
+        np.testing.assert_array_equal(np.asarray(got[7]), np.asarray(ref[7]))
+        fm = np.asarray(ref[7])
+        np.testing.assert_array_equal(np.asarray(got[8])[fm], np.asarray(ref[8])[fm])
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+        for k in (4, 5, 6):
+            np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]))
+        np.testing.assert_allclose(
+            np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-6, atol=1e-9
+        )
