@@ -22,6 +22,14 @@ masked candidate set by construction, min / tie-key max are comparison-based
 against the XLA ladder in tests/test_pallas_search_bayes.py and end-to-end
 by the decision-parity suites.
 
+Frame mode (patch_row given) goes one step further: the kernel takes the
+padded f32 FRAME instead of a precomputed score map and builds the
+penalized NSSD rows for each visited 8-row block in-kernel (24-row slab,
+the same roll-based integer box sums and shared nssd_corr_f32 formula as
+pallas_score_map — values bit-identical at valid centres), so non-firing
+frames do no score work at all and the whole-frame score kernel disappears
+from the single-stream path.
+
 Layout: particle rows arrive lane-parallel (as produced by
 pallas_particle_predict_fused); the search needs them as per-particle
 COLUMNS against band columns on lanes, so the kernel transposes them once
