@@ -329,6 +329,10 @@ def stamp_patch_on_plane(params: Params, tex: np.ndarray, tex_scale: float,
     b = patch.shape[0]
     half = (b - 1) // 2
     tx, ty, hit = texture_coords(params, tex.shape, r0, q0, tex_scale)
+    # a negative slice start would silently wrap via Python indexing and
+    # stamp a misplaced patch — require the full patch inside the frame
+    assert half <= uu < params.cam_width - half, (uu, params.cam_width)
+    assert half <= vv < params.cam_height - half, (vv, params.cam_height)
     sl = np.s_[vv - half : vv + half + 1, uu - half : uu + half + 1]
     assert hit[sl].all(), "patch region must see the plane at the capture pose"
     # at ~1 texel/pixel the rounded inverse mapping is collision-free inside

@@ -309,6 +309,37 @@ class MonoSLAM:
             fields["patch_rows"] = jnp.stack(
                 [st.patch_row(p) for p in fields["patches"]]
             )
+        # validate against this instance's capacity config up front — a
+        # mismatched checkpoint must fail with a clear error here, not deep
+        # inside the jitted step
+        tmpl = self.state._asdict()
+        unknown = sorted(set(fields) - set(tmpl))
+        if unknown:
+            raise ValueError(
+                f"checkpoint {path!r} has unknown state fields {unknown} "
+                "(written by a newer scenelib2_tpu?)"
+            )
+        missing = sorted(set(tmpl) - set(fields))
+        if missing:
+            raise ValueError(
+                f"checkpoint {path!r} is missing state fields {missing}"
+            )
+        for k, want in tmpl.items():
+            got = fields[k]
+            if tuple(got.shape) != tuple(want.shape):
+                raise ValueError(
+                    f"checkpoint field '{k}' has shape {tuple(got.shape)} but "
+                    f"this configuration (max_features={self.params.max_features}, "
+                    f"n_particles={self.params.n_particles}, "
+                    f"max_features_to_init_at_once="
+                    f"{self.params.max_features_to_init_at_once}) expects "
+                    f"{tuple(want.shape)} — was the checkpoint written with a "
+                    "different capacity config?"
+                )
+            if got.dtype != want.dtype:
+                # e.g. an f64 parity checkpoint loaded into an f32 fast-mode
+                # run (or vice versa): cast rather than fail
+                fields[k] = got.astype(want.dtype)
         self.state = SlamState(**fields)
 
     # --------------------------------------------------------------- misc

@@ -685,7 +685,10 @@ def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Para
     RW, RH = params.init_search_width, params.init_search_height
     x = state.x
 
-    if x.dtype == jnp.float32 and params.use_pallas and not params.batch_mode:
+    if (x.dtype == jnp.float32 and params.use_pallas and not params.batch_mode
+            and MF <= 128):
+        # (MF <= 128: the proposal kernel lays slots out on one 128-lane row
+        # — larger capacities fall through to the XLA chain below)
         # the WHOLE proposal chain (rollforward, future-point projection,
         # safe box, occupancy projections, drand48 draws, region tries,
         # Shi-Tomasi) as ONE kernel — it was ~500 compiled ops of mostly
@@ -1052,10 +1055,17 @@ def _match_partial_features(state: SlamState, corr_maps,
                 low_sigma_penalty=params.low_sigma_penalty, **kw,
             )
         else:
+            # MAXP > 1: heavy() hands over padded score maps in single-stream
+            # mode (return_padded=not batch_mode) — tell the kernel so its
+            # shape assert takes the padded branch
+            pre_padded = corr_maps.shape[1:] != (
+                params.cam_height, params.cam_width
+            )
             (prob_f, palive_f, mean, cov, convert_mask, kill_c, n_over_slot,
              _found, _z, _best) = pallas_search_bayes(
                 corr_maps.astype(jnp.float32), pred_raw, prob_c, lam_c,
-                palive_c, making, pmask, match_attempts[pidx], **kw,
+                palive_c, making, pmask, match_attempts[pidx],
+                corr_padded=pre_padded, **kw,
             )
             prob_full = state.prob.at[pidx].set(prob_f)
             palive_full = state.palive.at[pidx].set(palive_f)
