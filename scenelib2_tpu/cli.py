@@ -173,6 +173,32 @@ def cmd_ar(args):
     print(json.dumps(dict(ar_frames=len(paths), map=map_path, out=args.out)))
 
 
+def cmd_selftest(args):
+    """One-command hardware selftest (VERDICT r4 item 6): run the benched
+    scan on the current device and compare the decisions fingerprint against
+    data/expected_fingerprint.json. Mosaic-compile regressions (which
+    interpret-mode CI cannot see) fail this command with exit 1.
+
+    Runs in a subprocess because fast (f32) mode must be fixed before the
+    package imports jax — this parent process already imported it."""
+    import subprocess
+
+    env = dict(os.environ, SCENELIB2_X64="0")
+    env.pop("JAX_ENABLE_X64", None)
+    if args.cpu:
+        env["JAX_PLATFORMS"] = "cpu"
+    # bootstrap -c: the platform must be pinned BEFORE the package import
+    # initialises the PJRT backend (python -m imports the package first)
+    boot = (
+        "import os, sys, jax\n"
+        + ("jax.config.update('jax_platforms','cpu')\n" if args.cpu else "")
+        + "from scenelib2_tpu.eval.selftest import run_selftest\n"
+        f"sys.exit(run_selftest({args.expected!r} or None, {args.frames}, "
+        f"{args.update}))\n"
+    )
+    raise SystemExit(subprocess.run([sys.executable, "-c", boot], env=env).returncode)
+
+
 def cmd_print_state(args):
     from scenelib2_tpu import MonoSLAM
 
@@ -220,6 +246,17 @@ def main(argv=None):
     pa.add_argument("--mapping", action="store_true")
     pa.add_argument("--every", type=int, default=1)
     pa.set_defaults(func=cmd_ar)
+
+    pt = sub.add_parser(
+        "selftest", help="device decisions-fingerprint selftest (exit 1 on drift)"
+    )
+    pt.add_argument("--frames", type=int, default=240)
+    pt.add_argument("--expected", default="")
+    pt.add_argument("--update", action="store_true",
+                    help="re-baseline the expected fingerprint (deliberate)")
+    pt.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (interpret-mode kernels)")
+    pt.set_defaults(func=cmd_selftest)
 
     ps = sub.add_parser("print-state", help="print xv/Pxx from a checkpoint")
     ps.add_argument("--config", required=True)
