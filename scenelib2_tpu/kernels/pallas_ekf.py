@@ -174,6 +174,8 @@ def pallas_joint_update_norm(
 def _update_kernel_compact(smem_ref, seli_ref, x_ref, P_ref, keep_ref,
                            ox_ref, oP_ref, *, D, NSEL, HXO, HYO, RDO, HO, ZO,
                            pad_d, pad_m):
+    # pad_d is the 128-multiple >= D (std 128; hires 384): state-dim operands
+    # are [pad_d, pad_d] blocks and Mosaic tiles the larger dots internally.
     """Compact-input variant: H, R and nu are BUILT IN-KERNEL from the
     measurement kernel's selected-column matrix instead of being assembled
     (one-hot einsum + scatters + pad copies) on the XLA side.
@@ -185,8 +187,9 @@ def _update_kernel_compact(smem_ref, seli_ref, x_ref, P_ref, keep_ref,
     f32 keep mask; smem any-success flag lives in its lane... passed as
     keep_ref[0, 127] is NOT used — any_succ is smem row NOUT+2 reduced by
     the caller into succ flags (any_succ == any(succ))."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    zrow = jnp.zeros((1, 128), jnp.float32)
+    TD = _round_up(pad_d, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TD), 1)
+    zrow = jnp.zeros((1, TD), jnp.float32)
 
     rows = []
     nu_row = zrow
@@ -212,7 +215,7 @@ def _update_kernel_compact(smem_ref, seli_ref, x_ref, P_ref, keep_ref,
             rv = jnp.where(succ > 0.0, smem_ref[RDO, k], jnp.float32(1.0))
             rd_row = rd_row + jnp.where(lane == 2 * k + i, rv, 0.0)
     rows += [zrow] * (pad_m - 2 * NSEL)
-    Hm = jnp.concatenate(rows, axis=0)                 # [pad_m, 128]
+    Hm = jnp.concatenate(rows, axis=0)                 # [pad_m, TD]
 
     P = P_ref[..., :pad_d]
     Hd = Hm[:, :pad_d]
@@ -279,10 +282,10 @@ def _update_kernel_compact(smem_ref, seli_ref, x_ref, P_ref, keep_ref,
     )
     P_out = P_del * 0.5 + Pt * 0.5
 
-    zx = jnp.zeros((1, 128 - pad_d), jnp.float32)
-    ox_ref[...] = jnp.concatenate([x_del, zx], axis=1)
-    zP = jnp.zeros((pad_d, 128 - pad_d), jnp.float32)
-    oP_ref[...] = jnp.concatenate([P_out, zP], axis=1)
+    zx = jnp.zeros((1, TD - pad_d), jnp.float32)
+    ox_ref[...] = jnp.concatenate([x_del, zx], axis=1) if TD > pad_d else x_del
+    zP = jnp.zeros((pad_d, TD - pad_d), jnp.float32)
+    oP_ref[...] = jnp.concatenate([P_out, zP], axis=1) if TD > pad_d else P_out
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "meas_rows"))
@@ -306,7 +309,11 @@ def pallas_joint_update_norm_compact(
     D = x.shape[0]
     NSEL = sel.shape[1]
     NOUT = sel.shape[0]
-    assert D <= 128 and 2 * NSEL <= 128
+    # TD = 128-multiple >= D: hires (D=373) runs fused on [376, 384] blocks;
+    # at D <= 128 the compiled kernel is byte-identical to the single-tile
+    # original (TD == 128).
+    TD = _round_up(D, 128)
+    assert D <= 384 and 2 * NSEL <= 128
     pad_d = _round_up(D, 8)
     pad_m = _round_up(2 * NSEL, 8)
     HXO, HYO, RDO, HO = meas_rows
@@ -320,9 +327,9 @@ def pallas_joint_update_norm_compact(
         ],
         axis=0,
     )
-    xp = jnp.zeros((1, 128), f32).at[0, :D].set(x.astype(f32))
-    Pp = jnp.zeros((pad_d, 128), f32).at[:D, :D].set(P.astype(f32))
-    keepp = jnp.zeros((1, 128), f32).at[0, :D].set(keep_dims.astype(f32))
+    xp = jnp.zeros((1, TD), f32).at[0, :D].set(x.astype(f32))
+    Pp = jnp.zeros((pad_d, TD), f32).at[:D, :D].set(P.astype(f32))
+    keepp = jnp.zeros((1, TD), f32).at[0, :D].set(keep_dims.astype(f32))
 
     kernel = functools.partial(
         _update_kernel_compact,
@@ -343,8 +350,8 @@ def pallas_joint_update_norm_compact(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, 128), f32),
-            jax.ShapeDtypeStruct((pad_d, 128), f32),
+            jax.ShapeDtypeStruct((1, TD), f32),
+            jax.ShapeDtypeStruct((pad_d, TD), f32),
         ],
         interpret=interpret,
     )(smem, offs.astype(jnp.int32), xp, Pp, keepp)

@@ -8,7 +8,9 @@ costs another ~15 (slot-block slicing + input-matrix assembly); per-op
 sequencer overhead at D~109 dwarfs the arithmetic. Here:
 
   predict — x' and P' = F~ P F~' + Q~ with F~ = blockdiag(F, I),
-    Q~ = blockdiag(Q, 0) on one zero-padded 128x128 tile (two MXU dots;
+    Q~ = blockdiag(Q, 0) on one zero-padded TDxTD block, TD = the 128-
+    multiple >= D (std D=109 -> 128; hires D=373 -> 384 — Mosaic tiles the
+    larger dots internally) (two MXU dots;
     multiplying by the exact-identity feature block reproduces those P
     entries bit-for-bat, so this equals the reference's partial transform
     Pxx<-F Pxx F'+Q, Pxy<-F Pxy, Pyy untouched). F and Q entries are built
@@ -53,7 +55,7 @@ SLOT_DIM = 6
 
 def _predict_measure_kernel(smem_ref, x_ref, P_ref, lanes_ref,
                             meas_ref, ox_ref, oP_ref, sel_ref, aux_ref, *,
-                            D, MF, NSEL, MAXP, dt, lin_var, ang_var,
+                            D, TD, MF, NSEL, MAXP, dt, lin_var, ang_var,
                             fku, fkv, u0c, v0c, kd1, sd0,
                             W, H, bnd, max_len_ratio, cos_max_angle):
     f32 = jnp.float32
@@ -121,8 +123,11 @@ def _predict_measure_kernel(smem_ref, x_ref, P_ref, lanes_ref,
         for i in range(4)
     ]
 
-    rI = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-    lI = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    # P-space (state-dim) iotas are [TD, TD] with TD a 128-multiple >= D;
+    # lane-space (per-slot) math below stays on one 128-lane row (MF <= 128).
+    # At TD == 128 this is byte-identical to the original single-tile kernel.
+    rI = jax.lax.broadcasted_iota(jnp.int32, (TD, TD), 0)
+    lI = jax.lax.broadcasted_iota(jnp.int32, (TD, TD), 1)
 
     # ---- F~ = blockdiag(dfv_by_dxv, I_features) --------------------------
     Ft = jnp.where((rI == lI) & (lI < D), one, zero)
@@ -149,7 +154,8 @@ def _predict_measure_kernel(smem_ref, x_ref, P_ref, lanes_ref,
     Gm = jnp.where((rI >= 7) & (rI < 10) & (lI == rI - 7), one, Gm)
     Gm = jnp.where((rI >= 10) & (rI < 13) & (lI == rI - 7), one, Gm)
     lrow = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    pnn_row = jnp.where(lrow < 3, f32(lin_var), jnp.where(lrow < 6, f32(ang_var), zero))
+    lrowT = jax.lax.broadcasted_iota(jnp.int32, (1, TD), 1)
+    pnn_row = jnp.where(lrowT < 3, f32(lin_var), jnp.where(lrowT < 6, f32(ang_var), zero))
     Gp = Gm * pnn_row
     Qm = jax.lax.dot_general(Gp, Gm, (((1,), (1,)), ((), ())), precision=_HI)
 
@@ -170,12 +176,15 @@ def _predict_measure_kernel(smem_ref, x_ref, P_ref, lanes_ref,
 
     xn = x_ref[...]
     for i, vv in enumerate([rn0, rn1, rn2, qn_w, qn_x, qn_y, qn_z]):
-        xn = jnp.where(lrow == i, vv, xn)
+        xn = jnp.where(lrowT == i, vv, xn)
     ox_ref[...] = xn
 
     # ---- in-kernel slot extraction (exact 0/1 contractions) --------------
+    # selector matrices are [TD, 128]: row = state dim, lane = slot index
+    rM = jax.lax.broadcasted_iota(jnp.int32, (TD, 128), 0)
+    lM = jax.lax.broadcasted_iota(jnp.int32, (TD, 128), 1)
     Ms = [
-        jnp.where((rI == CAM_DIM + SLOT_DIM * lI + j) & (lI < MF), one, zero)
+        jnp.where((rM == CAM_DIM + SLOT_DIM * lM + j) & (lM < MF), one, zero)
         for j in range(3)
     ]
     y_rows = [
@@ -233,19 +242,21 @@ def _predict_measure_kernel(smem_ref, x_ref, P_ref, lanes_ref,
     # lanes were all tied; the sentinel keeps them tied).
     work = jnp.where(valid & jnp.isfinite(score_row), score_row, f32(-3e38))
     lanef = lrow.astype(jnp.float32)
-    eye128 = jnp.where(rI == lI, one, zero)
+    r128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    l128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    eye128 = jnp.where(r128 == l128, one, zero)
     s_col = jax.lax.dot_general(
         eye128, work, (((1,), (1,)), ((), ())), precision=_HI
     )                                                        # [128,1]: s[k2]
     A = jnp.broadcast_to(s_col, (128, 128))                  # A[k2,k] = s[k2]
     B = jnp.broadcast_to(work, (128, 128))                   # B[k2,k] = s[k]
-    beats = (A > B) | ((A == B) & (rI < lI))
+    beats = (A > B) | ((A == B) & (r128 < l128))
     rank = jnp.sum(jnp.where(beats, one, zero), axis=0, keepdims=True)  # [1,128]
     rank_col = jax.lax.dot_general(
         eye128, rank, (((1,), (1,)), ((), ())), precision=_HI
     )                                                        # [128,1]: rank[k]
     Ocols = jnp.where(
-        (jnp.broadcast_to(rank_col, (128, 128)) == lI.astype(f32)) & (lI < NSEL),
+        (jnp.broadcast_to(rank_col, (128, 128)) == l128.astype(f32)) & (l128 < NSEL),
         one, zero,
     )                                                        # [k, j] one-hot
     idx_row = jax.lax.dot_general(
@@ -331,12 +342,16 @@ def pallas_predict_measure(
         interpret = default_interpret()
     D = x.shape[0]
     MF = xp_org.shape[0]
-    assert D <= 128, "single-tile kernel: D must fit one lane row"
-    assert MF <= 128
+    # P-space ops tile to TD (a 128-multiple): hires (60 slots, D=373) runs
+    # in one kernel on a 384-wide P. 384 caps in-kernel VMEM at ~5 MB of
+    # [TD,TD] f32 intermediates; larger maps keep the split path.
+    TD = ((D + 127) // 128) * 128
+    assert D <= 384, "tiled kernel: D beyond 384 exceeds the VMEM budget"
+    assert MF <= 128, "slot math is lane-parallel on one 128-lane row"
     f32 = jnp.float32
 
-    xp_pad = jnp.zeros((1, 128), f32).at[0, :D].set(x.astype(f32))
-    Pp = jnp.zeros((128, 128), f32).at[:D, :D].set(P.astype(f32))
+    xp_pad = jnp.zeros((1, TD), f32).at[0, :D].set(x.astype(f32))
+    Pp = jnp.zeros((TD, TD), f32).at[:D, :D].set(P.astype(f32))
     lanes = jnp.zeros((16, 128), f32)
     lanes = lanes.at[:7, :MF].set(xp_org.T.astype(f32))
     lanes = lanes.at[7, :MF].set(act_full.astype(f32))
@@ -350,7 +365,7 @@ def pallas_predict_measure(
 
     kernel = functools.partial(
         _predict_measure_kernel,
-        D=D, MF=MF, NSEL=int(nsel), MAXP=int(maxp),
+        D=D, TD=TD, MF=MF, NSEL=int(nsel), MAXP=int(maxp),
         dt=float(dt), lin_var=float(lin_var), ang_var=float(ang_var),
         fku=fku, fkv=fkv, u0c=u0c, v0c=v0c, kd1=kd1, sd0=sd0,
         W=float(W), H=float(H), bnd=float(boundary),
@@ -374,8 +389,8 @@ def pallas_predict_measure(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((NOUT, 128), f32),
-            jax.ShapeDtypeStruct((1, 128), f32),
-            jax.ShapeDtypeStruct((128, 128), f32),
+            jax.ShapeDtypeStruct((1, TD), f32),
+            jax.ShapeDtypeStruct((TD, TD), f32),
             jax.ShapeDtypeStruct((NOUT, 128), f32),
             jax.ShapeDtypeStruct((8, 128), f32),
         ],

@@ -201,12 +201,13 @@ def make_step(params: Params, dtype=jnp.float64):
             and (not params.batch_mode or params.batch_pallas)
         )
         MAXP = max(1, params.max_features_to_init_at_once)
-        # the fused kernel works on one zero-padded 128x128 tile; larger
-        # maps (hires/stress configs) keep the split predict + measure path
+        # the fused kernel works on one zero-padded TDxTD block with TD the
+        # 128-multiple >= D, up to D=384 (hires' 60 slots = D 373); truly
+        # large maps (stress configs) keep the split predict + measure path
         fused_pm = (
             fast_kpath
             and not params.batch_mode
-            and CAM_DIM + SLOT_DIM * MF <= 128
+            and CAM_DIM + SLOT_DIM * MF <= 384
         )
         if fused_pm:
             # stages 1+2 fused: EKF predict (blockdiag F~ P F~'+Q~ on one
@@ -456,7 +457,7 @@ def make_step(params: Params, dtype=jnp.float64):
         sched_after = sched1 & ~kill
         fast_mode = jnp.zeros((), jnp.float64).dtype == jnp.float32
         fused_update = (
-            fast_mode and params.use_pallas and not params.batch_mode and D <= 128
+            fast_mode and params.use_pallas and not params.batch_mode and D <= 384
         )
         if fused_update and fast_kpath:
             # update + normalise + gate + delete-zeroing + symmetrize as ONE

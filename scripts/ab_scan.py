@@ -9,9 +9,10 @@ Prints, for the benched fast-mode scan artifact (bench.py's exact graph):
 Run on a QUIET device: the axon tunnel serializes clients, so never run two
 TPU processes at once (see BENCH_SUITE.md methodology notes).
 
-Env: FRAMES (default 240), REPEATS (default 20), SCENELIB2_* flags pass
-through to the package (e.g. SCENELIB2_FORCE_BRANCHES for the cond-boundary
-ablation).
+Env: FRAMES (default 240), REPEATS (default 20), CONFIG (std | hires —
+hires is the 640x480 / 60-slot / D=373 operating point of bench_hires),
+SCENELIB2_* flags pass through to the package (e.g.
+SCENELIB2_FORCE_BRANCHES for the cond-boundary ablation).
 """
 
 from __future__ import annotations
@@ -45,19 +46,34 @@ from scenelib2_tpu.eval.synthetic import DATASET_VERSION, generate_dataset  # no
 
 
 def main():
-    n_frames = int(os.environ.get("FRAMES", "240"))
-    cache = os.path.join(
-        tempfile.gettempdir(), f"scenelib2_bench_v{DATASET_VERSION}_{n_frames}"
-    )
-    if not os.path.exists(os.path.join(cache, "frames.npy")):
-        os.makedirs(cache, exist_ok=True)
-        frames, _rs, _qs, _ = generate_dataset(cache, n_frames=n_frames)
-        np.save(os.path.join(cache, "frames.npy"), frames)
-    else:
-        frames = np.load(os.path.join(cache, "frames.npy"))
-    cfg = os.path.join(cache, "synthetic.cfg")
+    conf = os.environ.get("CONFIG", "std")
+    if conf == "hires":
+        from scenelib2_tpu.config import Params
+        from scenelib2_tpu.eval.benchmark import _dataset
 
-    slam = MonoSLAM(cfg, max_features=16, use_pallas=True)
+        n_frames = int(os.environ.get("FRAMES", "120"))
+        p = Params(
+            cam_width=640, cam_height=480, cam_fku=390.0, cam_fkv=390.0,
+            cam_u0=324.0, cam_v0=250.0, max_features=60,
+            search_win_radius=48, particle_win_radius=52, n_particles=200,
+        )
+        frames, cfg, _ = _dataset(n_frames, params=p, tag="hires")
+        max_features = 60
+    else:
+        n_frames = int(os.environ.get("FRAMES", "240"))
+        cache = os.path.join(
+            tempfile.gettempdir(), f"scenelib2_bench_v{DATASET_VERSION}_{n_frames}"
+        )
+        if not os.path.exists(os.path.join(cache, "frames.npy")):
+            os.makedirs(cache, exist_ok=True)
+            frames, _rs, _qs, _ = generate_dataset(cache, n_frames=n_frames)
+            np.save(os.path.join(cache, "frames.npy"), frames)
+        else:
+            frames = np.load(os.path.join(cache, "frames.npy"))
+        cfg = os.path.join(cache, "synthetic.cfg")
+        max_features = 16
+
+    slam = MonoSLAM(cfg, max_features=max_features, use_pallas=True)
     print(f"# device: {jax.devices()[0]}", file=sys.stderr)
 
     seq = jax.device_put(jnp.asarray(frames[1:], jnp.uint8))

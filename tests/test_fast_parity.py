@@ -187,7 +187,8 @@ def test_fast_std_decision_parity_vs_f64_and_reference():
 
 
 def test_fast_hires_decision_parity_vs_f64_and_reference():
-    """640x480/60-feature bench config through the split (D>128) fast path."""
+    """640x480/60-feature bench config through the FUSED tiled fast path
+    (D=373 -> TD=384 megakernels as of round 5; was the split path)."""
     from scenelib2_tpu.config import Params
     from scenelib2_tpu.eval.benchmark import _dataset
 

@@ -140,3 +140,67 @@ def test_compact_update_matches_v1(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_P), np.asarray(want_P),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_compact_update_large_d(rng):
+    """Compact kernel at the hires operating point (MF=60, D=373 -> TD=384):
+    the multi-tile P block must match the XLA update sequence."""
+    import jax.numpy as jnp
+
+    from scenelib2_tpu.kernels import pallas_measure as pm
+    from scenelib2_tpu.kernels.pallas_ekf import pallas_joint_update_norm_compact
+
+    MF, NSEL = 60, 10
+    D = CAM_DIM + SLOT_DIM * MF
+    M = 2 * NSEL
+    A = rng.normal(size=(D, D))
+    P = A @ A.T / D * 1e-3 + np.eye(D) * 1e-4
+    x = rng.normal(size=D) * 0.1
+    x[3:7] = rng.normal(size=4)
+    x[3:7] /= np.linalg.norm(x[3:7]) * (1.0 + 1e-3)
+
+    sel = np.zeros((pm.NOUT, NSEL), np.float32)
+    hx = rng.normal(size=(NSEL, 2, 7)).astype(np.float32)
+    hy = rng.normal(size=(NSEL, 2, 3)).astype(np.float32)
+    Rd = rng.uniform(1.0, 2.0, NSEL).astype(np.float32)
+    h = rng.uniform(20, 200, (NSEL, 2)).astype(np.float32)
+    z = (h + rng.normal(0, 1.0, (NSEL, 2))).astype(np.float32)
+    succ = rng.uniform(size=NSEL) > 0.3
+    succ[0] = True
+    slots = rng.choice(MF, NSEL, replace=False).astype(np.int32)
+    offs = CAM_DIM + SLOT_DIM * slots
+    sel[pm.O_HX : pm.O_HX + 14] = hx.reshape(NSEL, 14).T
+    sel[pm.O_HY : pm.O_HY + 6] = hy.reshape(NSEL, 6).T
+    sel[pm.O_RD] = Rd
+    sel[pm.O_H : pm.O_H + 2] = h.T
+
+    H = np.zeros((M, D))
+    nu = np.zeros(M)
+    R = np.eye(M)
+    for k in range(NSEL):
+        if not succ[k]:
+            continue
+        for i in range(2):
+            H[2 * k + i, :7] = hx[k, i]
+            H[2 * k + i, offs[k] : offs[k] + 3] = hy[k, i]
+            nu[2 * k + i] = z[k, i] - h[k, i]
+            R[2 * k + i, 2 * k + i] = Rd[k]
+    keep = np.ones(D, bool)
+    keep[CAM_DIM + 5 * SLOT_DIM : CAM_DIM + 6 * SLOT_DIM] = False
+
+    want_x, want_P = _xla_sequence(
+        jnp.asarray(x), jnp.asarray(P), jnp.asarray(H), jnp.asarray(nu),
+        jnp.asarray(R), jnp.asarray(True), jnp.asarray(keep),
+    )
+    got_x, got_P = pallas_joint_update_norm_compact(
+        jnp.asarray(x), jnp.asarray(P), jnp.asarray(sel), jnp.asarray(z),
+        jnp.asarray(succ), jnp.asarray(offs), jnp.asarray(keep),
+        meas_rows=(pm.O_HX, pm.O_HY, pm.O_RD, pm.O_H), interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
+                               rtol=5e-4, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(got_P), np.asarray(want_P),
+                               rtol=5e-3, atol=5e-7)
+    np.testing.assert_array_equal(np.asarray(got_P), np.asarray(got_P).T)
+    assert np.all(np.asarray(got_P)[~keep, :] == 0.0)
+    assert np.all(np.asarray(got_x)[~keep] == 0.0)

@@ -41,9 +41,11 @@ def _scene(rng, MF=8):
     return params, cam, x, xpo, P, act
 
 
-def test_predict_measure_matches_xla_chain(rng):
-    params, cam, x, xpo, P, act = _scene(rng)
-    MF = xpo.shape[0]
+@pytest.mark.parametrize("MF", [8, 60])
+def test_predict_measure_matches_xla_chain(rng, MF):
+    # MF=60 is the hires operating point (D = 373 -> TD = 384): exercises
+    # the multi-tile P block of the generalized kernel
+    params, cam, x, xpo, P, act = _scene(rng, MF=MF)
 
     # reference path: f64 predict then vmapped measurement chain, all f32-cast
     xj64 = jnp.asarray(x)
