@@ -294,60 +294,19 @@ def _make_realistic_ekf_step(params, n_feat: int, slot_dim: int, n_sel: int = 10
     (z = h + 0.5px) but every matrix is assembled exactly as in the live
     step — this is what `construct_total_measurement_stuff` + KalmanFilter
     Update cost in the reference (monoslam.cpp:548-572, kalman.cpp:72-119)."""
-    import jax
     import jax.numpy as jnp
 
-    from scenelib2_tpu.core import ekf, models
-    from scenelib2_tpu.core.camera import CameraParams, measurement_noise
+    from scenelib2_tpu.core import ekf
+    from scenelib2_tpu.core.camera import CameraParams
+    from scenelib2_tpu.runtime.assembly import measurement_assembly
 
     cam = CameraParams.from_params(params)
-    CAM_DIM = 13
-    dxp_pad = ((0, 0), (0, CAM_DIM - 7))
 
     def step(x, P):
         if predict:
             x, P = ekf.predict(x, P, jnp.zeros(3), params.delta_t, params.sd_a, params.sd_alpha)
-        D = x.shape[0]
-        xp = x[:7]
-        # reshape-based slot gathers (vmapped dynamic_slice lowers to a
-        # serial while on TPU — same finding as runtime/state.py:304-317)
-        ys3 = x[CAM_DIM:].reshape(n_feat, slot_dim)[:, :3]
-        pxy3 = (
-            P[:CAM_DIM, CAM_DIM:]
-            .reshape(CAM_DIM, n_feat, slot_dim)
-            .transpose(1, 0, 2)[:, :, :3]
-        )
-        feat = P[CAM_DIM:, CAM_DIM:].reshape(n_feat, slot_dim, n_feat, slot_dim)
-        idxf = jnp.arange(n_feat, dtype=jnp.int32)
-        pyy3 = feat[idxf, :, idxf, :][:, :3, :3]
-        Pxx = P[:CAM_DIM, :CAM_DIM]
-
-        def per_slot(y, pxy_i, pyy_i):
-            h, hx7, hy, zeroed = models.full_predict_measurement(cam, y, xp)
-            R = measurement_noise(cam, h)
-            S = models.innovation_covariance(
-                Pxx, pxy_i, pyy_i, jnp.pad(hx7, dxp_pad), hy, R
-            )
-            # cast back to the bench dtype: the camera constants are f64
-            # under x64, which would silently promote an f32 run
-            dt = x.dtype
-            return (h.astype(dt), hx7.astype(dt), hy.astype(dt),
-                    R[0, 0].astype(dt), S.astype(dt))
-
-        h_all, hx_all, hy_all, Rd_all, S_all = jax.vmap(per_slot)(ys3, pxy3, pyy3)
-        score = S_all[:, 0, 0] + S_all[:, 1, 1]
-        _, top_idx = jax.lax.top_k(score, n_sel)
-        offs = CAM_DIM + slot_dim * top_idx
-        col_ids = offs[:, None] + jnp.arange(3, dtype=top_idx.dtype)[None, :]
-        onehot = (col_ids[:, :, None] == jnp.arange(D, dtype=jnp.int32)[None, None, :]).astype(x.dtype)
-        H_rows = jnp.einsum("kij,kjd->kid", hy_all[top_idx], onehot)
-        H_rows = H_rows.at[:, :, :7].set(hx_all[top_idx])
-        H_tot = H_rows.reshape(2 * n_sel, D)
-        R_tot = (
-            jnp.zeros((n_sel, 2, n_sel, 2), x.dtype)
-            .at[jnp.arange(n_sel, dtype=jnp.int32), :, jnp.arange(n_sel, dtype=jnp.int32), :]
-            .set(Rd_all[top_idx][:, None, None] * jnp.eye(2, dtype=x.dtype))
-            .reshape(2 * n_sel, 2 * n_sel)
+        H_tot, R_tot, _top_idx, _h_sel = measurement_assembly(
+            cam, x, P, n_feat, slot_dim, n_sel
         )
         nu_tot = jnp.full((n_sel, 2), 0.5, x.dtype).reshape(2 * n_sel)
         # pallas_chol=False: this bench runs in an x64-enabled process, and

@@ -213,6 +213,91 @@ def sharded_slam_frame(mesh: Mesh, D: int, M: int, delta_t: float = 1 / 30.0,
     )
 
 
+def sharded_stress_frame(mesh: Mesh, params: Params, n_feat: int,
+                         slot_dim: int = 6, n_sel: int = 10):
+    """One stress500-scale mapping frame with the REAL measurement stage on a
+    2-D sharded covariance: predict (real motion model) + per-slot
+    measurement prediction / top-k selection / one-hot H,R packing (the
+    shared runtime.assembly.measurement_assembly — the
+    construct_total_measurement_stuff analog, monoslam.cpp:548-572) + joint
+    update + quaternion-normalise + symmetrize (kalman.cpp:72-119,
+    monoslam.cpp:616-637, :145-150).
+
+    Unlike sharded_slam_frame (which takes caller-supplied H/nu/R), H is
+    assembled IN the sharded graph from the sharded P's own slot blocks —
+    the gathers of Pxx / pxy / pyy and the replicated per-slot chain are part
+    of the partitioned computation, so this is the full filter data path a
+    stress500 mapping user would run. Measurements are synthetic (z = h +
+    0.5 px, every selected feature measured) exactly like the stress500
+    bench; decisions (top-k selection) and numerics are asserted equal to
+    the unsharded eval.benchmark._make_realistic_ekf_step in
+    tests/test_parallel.py::test_sharded_stress_frame_matches_dense.
+
+    Accepts mesh-padded D (pad_for_mesh): the assembly reads only the live
+    slot range and pad dims stay exactly zero through every product.
+
+    Returns frame(x, Pm, u) -> (x, Pm, top_idx)."""
+    from scenelib2_tpu.core import ekf, motion
+    from scenelib2_tpu.core.camera import CameraParams
+    from scenelib2_tpu.runtime.assembly import measurement_assembly
+
+    cam = CameraParams.from_params(params)
+    row_col = NamedSharding(mesh, P("row", "col"))
+    row_vec = NamedSharding(mesh, P("row"))
+    repl = NamedSharding(mesh, P())
+
+    def frame(x, Pm, u):
+        # --- predict (kalman.cpp:50-69) ---
+        fv, F = motion.func_fv_and_dfv_by_dxv(x[:CAM], u, params.delta_t)
+        Q = motion.func_Q(x[:CAM], params.delta_t, params.sd_a, params.sd_alpha)
+        top = F @ Pm[:CAM, :]
+        pxx = top[:, :CAM] @ F.T + Q
+        Pm = Pm.at[:CAM, :].set(top)
+        Pm = Pm.at[:, :CAM].set(top.T)
+        Pm = Pm.at[:CAM, :CAM].set(pxx)
+        x = x.at[:CAM].set(fv)
+        Pm = jax.lax.with_sharding_constraint(Pm, row_col)
+
+        # --- REAL measurement assembly on the sharded P (monoslam.cpp:548-572)
+        # — the slot-block gathers read the sharded array; the small per-slot
+        # chain and H/R run replicated ---
+        H, R, top_idx, h_sel = measurement_assembly(
+            cam, x, Pm, n_feat, slot_dim, n_sel
+        )
+        H = jax.lax.with_sharding_constraint(H, repl)
+        nu = jnp.full((n_sel, 2), 0.5, x.dtype).reshape(2 * n_sel)
+
+        # --- joint update (kalman.cpp:72-119) ---
+        S = H @ Pm @ H.T + R
+        Linv = ekf.tril_inv_unrolled(ekf.chol_unrolled(S))
+        Sinv = Linv.T @ Linv
+        PHt = jax.lax.with_sharding_constraint(
+            Pm @ H.T, NamedSharding(mesh, P("row", None))
+        )
+        W = PHt @ Sinv
+        x = x + W @ nu
+        Pm = Pm - W @ S @ W.T
+
+        # --- normalise (monoslam.cpp:616-637, covariance-only quirk) ---
+        xvn, J = motion.func_xvnorm_and_dxvnorm_by_dxv(x[:CAM])
+        topn = J @ Pm[:CAM, :]
+        pxxn = topn[:, :CAM] @ J.T
+        Pm = Pm.at[:CAM, :].set(topn)
+        Pm = Pm.at[:, :CAM].set(topn.T)
+        Pm = Pm.at[:CAM, :CAM].set(pxxn)
+        x = x.at[:CAM].set(xvn)
+
+        # --- symmetrize (monoslam.cpp:145-150) ---
+        Pm = Pm * 0.5 + Pm.T * 0.5
+        return x, jax.lax.with_sharding_constraint(Pm, row_col), top_idx
+
+    return jax.jit(
+        frame,
+        in_shardings=(row_vec, row_col, repl),
+        out_shardings=(row_vec, row_col, repl),
+    )
+
+
 def pad_for_mesh(D: int, rows: int, cols: int) -> int:
     """Smallest Dp >= D divisible by both mesh axis sizes."""
     import math

@@ -100,6 +100,48 @@ def test_sharded_frame_matches_dense_stress500(devices_ok, rng):
     np.testing.assert_allclose(Ps, np.asarray(Pd), rtol=1e-8, atol=1e-11)
 
 
+def test_sharded_stress_frame_matches_dense(devices_ok, rng):
+    """The sharded frame with REAL measurement assembly (H built from the
+    sharded P's own slot blocks) must make the same top-k selection and the
+    same posterior as the unsharded stress step
+    (eval.benchmark._make_realistic_ekf_step)."""
+    from scenelib2_tpu.config import Params
+    from scenelib2_tpu.eval.benchmark import _make_map_state, _make_realistic_ekf_step
+
+    m = pmesh.make_mesh((4, 2), ("row", "col"))
+    n_feat, slot_dim, n_sel = 50, 6, 10
+    params = Params()
+    D_live = 13 + slot_dim * n_feat
+    D = pmesh.pad_for_mesh(D_live, 4, 2)
+    x0, P0, _ = _make_map_state(n_feat, slot_dim)
+    x = jnp.zeros(D).at[:D_live].set(jnp.asarray(x0))
+    P = jnp.zeros((D, D)).at[:D_live, :D_live].set(jnp.asarray(P0))
+
+    frame = pmesh.sharded_stress_frame(m, params, n_feat, slot_dim, n_sel)
+    with m:
+        xs, Ps, top_s = frame(x, P, jnp.zeros(3))
+        xs, Ps, top_s = np.asarray(xs), np.asarray(Ps), np.asarray(top_s)
+
+    dense = _make_realistic_ekf_step(params, n_feat, slot_dim, n_sel=n_sel)
+    xd, Pd = dense(x, P)
+    from scenelib2_tpu.core.camera import CameraParams
+    from scenelib2_tpu.runtime.assembly import measurement_assembly
+    from scenelib2_tpu.core import ekf
+
+    xp_d, Pp_d = ekf.predict(x, P, jnp.zeros(3), params.delta_t,
+                             params.sd_a, params.sd_alpha)
+    _, _, top_d, _ = measurement_assembly(
+        CameraParams.from_params(params), xp_d, Pp_d, n_feat, slot_dim, n_sel
+    )
+    # identical DECISIONS: the selection indices must match exactly
+    np.testing.assert_array_equal(top_s, np.asarray(top_d))
+    np.testing.assert_allclose(xs, np.asarray(xd), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(Ps, np.asarray(Pd), rtol=1e-7, atol=1e-10)
+    # pad dims stay exactly zero through the sharded frame
+    assert np.all(xs[D_live:] == 0.0)
+    assert np.all(Ps[D_live:, :] == 0.0) and np.all(Ps[:, D_live:] == 0.0)
+
+
 def test_sharded_predict_matches_dense(devices_ok, rng):
     """Real-motion sharded predict == core.ekf.predict."""
     from scenelib2_tpu.core import ekf
