@@ -172,8 +172,9 @@ def pallas_joint_update_norm(
 
 
 def _update_kernel_compact(smem_ref, seli_ref, x_ref, P_ref, keep_ref,
-                           ox_ref, oP_ref, *, D, NSEL, HXO, HYO, RDO, HO, ZO,
-                           pad_d, pad_m):
+                           ox_ref, oP_ref, obk_ref=None, *, D, NSEL, HXO, HYO,
+                           RDO, HO, ZO, pad_d, pad_m, bk=False, mina=0.0,
+                           frac=0.0):
     # pad_d is the 128-multiple >= D (std 128; hires 384): state-dim operands
     # are [pad_d, pad_d] blocks and Mosaic tiles the larger dots internally.
     """Compact-input variant: H, R and nu are BUILT IN-KERNEL from the
@@ -271,7 +272,73 @@ def _update_kernel_compact(smem_ref, seli_ref, x_ref, P_ref, keep_ref,
     P_sel = jnp.where(any_m, P_norm, P)
     x_sel = jnp.where(jnp.broadcast_to(anyv > 0.0, (1, pad_d)), x_upd, x)
 
-    keep = keep_ref[..., :pad_d]
+    if bk:
+        # ---- in-kernel feature bookkeeping (monoslam.cpp:644-703) --------
+        # keep_ref here is the [8,128] bookkeeping block: rows 0..4 =
+        # attempts, successes, sched, active, label (f32). Replaces the XLA
+        # scatter-add / ratio / argsort(label) / cummax / scatter chain.
+        bkr = keep_ref[...]
+        att = bkr[0:1]
+        suc = bkr[1:2]
+        sch = bkr[2:3]
+        act = bkr[3:4]
+        lab = bkr[4:5]
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        for k in range(NSEL):
+            is_k = (lane1 == seli_ref[NSEL + k]).astype(jnp.float32)
+            att = att + is_k * smem_ref[ZO + 3, k]
+            suc = suc + is_k * smem_ref[ZO + 2, k]
+        ratio = jnp.where(att > 0.0, suc / jnp.maximum(att, 1.0), 1.0)
+        bad = (act > 0.0) & (att >= jnp.float32(mina)) & (ratio < jnp.float32(frac))
+        sched1 = ((sch > 0.0) | bad) & (act > 0.0)
+        sched1f = sched1.astype(jnp.float32)                     # [1,128]
+        # stable rank by (label if active else 2^30, slot index): the
+        # exterminate-skip closed form needs slots in reference list order
+        key = jnp.where(act > 0.0, lab, jnp.float32(1 << 30))
+        r8 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        l8 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        I128 = jnp.where(r8 == l8, one, zero)
+        B = jnp.broadcast_to(key, (128, 128))                    # B[r,c]=key_c
+        Tm = jax.lax.dot_general(B, I128, (((0,), (0,)), ((), ())),
+                                 precision=_HI)                  # Tm[r,c]=key_r
+        cmpT = ((Tm < B) | ((Tm == B) & (r8 < l8))).astype(jnp.float32)
+        rank_row = jnp.sum(cmpT, axis=0, keepdims=True)          # [1,128]
+        # Perm[p,i] = (rank_i == p)
+        Perm = (jnp.broadcast_to(rank_row, (128, 128))
+                == r8.astype(jnp.float32)).astype(jnp.float32)
+        s_sorted = jax.lax.dot_general(
+            sched1f, Perm, (((1,), (1,)), ((), ())), precision=_HI
+        )                                                        # [1,128] over p
+        pos_row = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
+        t_row = jnp.where(s_sorted > 0.0, 0.0, pos_row + 1.0)
+        TQ = jnp.broadcast_to(t_row, (128, 128))                 # TQ[p,q]=t_q
+        run_start = jnp.max(
+            jnp.where(l8 <= r8, TQ, -1.0), axis=1, keepdims=True
+        )                                                        # [128,1]
+        s_sorted_c = jax.lax.dot_general(
+            Perm, sched1f, (((1,), (1,)), ((), ())), precision=_HI
+        )                                                        # [128,1]
+        pos_col = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0).astype(jnp.float32)
+        dcol = pos_col - run_start
+        even = (dcol - 2.0 * jnp.floor(dcol * 0.5)) == 0.0
+        kill_pos = ((s_sorted_c > 0.0) & even).astype(jnp.float32)
+        kill_row = jax.lax.dot_general(
+            kill_pos, Perm, (((0,), (0,)), ((), ())), precision=_HI
+        )                                                        # [1,128]
+        sched_after = sched1f * (1.0 - kill_row)
+        # expand slot kills to state dims: E[i,d] = d in [13+6i, 19+6i)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (128, pad_d), 0)
+        ld = jax.lax.broadcasted_iota(jnp.int32, (128, pad_d), 1)
+        ES = ((ld >= 13 + 6 * ri) & (ld < 19 + 6 * ri)).astype(jnp.float32)
+        keep = 1.0 - jax.lax.dot_general(
+            kill_row, ES, (((1,), (0,)), ((), ())), precision=_HI
+        )                                                        # [1,pad_d]
+        obk_ref[...] = jnp.concatenate(
+            [att, suc, sched_after, kill_row,
+             jnp.zeros((4, 128), jnp.float32)], axis=0
+        )
+    else:
+        keep = keep_ref[..., :pad_d]
     keep2 = jax.lax.dot_general(keep, keep, (((0,), (0,)), ((), ())), precision=_HI)
     P_del = P_sel * keep2
     x_del = x_sel * keep
@@ -288,7 +355,9 @@ def _update_kernel_compact(smem_ref, seli_ref, x_ref, P_ref, keep_ref,
     oP_ref[...] = jnp.concatenate([P_out, zP], axis=1) if TD > pad_d else P_out
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "meas_rows"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "meas_rows", "mina", "frac")
+)
 def pallas_joint_update_norm_compact(
     x: jnp.ndarray,          # [D]
     P: jnp.ndarray,          # [D,D]
@@ -296,12 +365,24 @@ def pallas_joint_update_norm_compact(
     z: jnp.ndarray,          # [NSEL, 2] matched pixels
     succ: jnp.ndarray,       # [NSEL] bool
     offs: jnp.ndarray,       # [NSEL] i32 slot state offsets
-    keep_dims: jnp.ndarray,  # [D] bool
+    keep_dims,               # [D] bool, or None with bookkeeping
     meas_rows: tuple,        # (HXO, HYO, RDO, HO) row indices into sel
     interpret: bool | None = None,
+    bookkeeping=None,        # (attempts, successes, sched, active, label)
+    sel_mask=None,           # [NSEL] bool (required with bookkeeping)
+    top_idx=None,            # [NSEL] i32 slot ids (required with bookkeeping)
+    mina: float = 0.0,       # min_attempted_measurements (static)
+    frac: float = 0.0,       # successful_match_fraction (static)
 ):
     """Fused update with in-kernel H/R/nu assembly from the measurement
-    kernel's selected columns. Returns (x_out [D], P_out [D,D])."""
+    kernel's selected columns. Returns (x_out [D], P_out [D,D]).
+
+    With bookkeeping=(attempts, successes, sched, active, label) the kernel
+    also absorbs the per-frame feature bookkeeping (scatter-add the
+    attempt/success counters, the failure-ratio test, the exterminate
+    iterator-skip closed form incl. its label argsort, and the keep-dims
+    expansion — monoslam.cpp:644-703): keep_dims must be None and the return
+    becomes (x, P, attempts', successes', sched', kill[MF])."""
     if interpret is None:
         from scenelib2_tpu.kernels.compat import default_interpret
 
@@ -317,26 +398,52 @@ def pallas_joint_update_norm_compact(
     pad_d = _round_up(D, 8)
     pad_m = _round_up(2 * NSEL, 8)
     HXO, HYO, RDO, HO = meas_rows
+    bk = bookkeeping is not None
 
     f32 = jnp.float32
-    smem = jnp.concatenate(
-        [
-            sel.astype(f32),
-            z.T.astype(f32),                       # rows NOUT, NOUT+1
-            succ.astype(f32)[None, :],             # row NOUT+2
-        ],
-        axis=0,
-    )
+    rows = [
+        sel.astype(f32),
+        z.T.astype(f32),                       # rows NOUT, NOUT+1
+        succ.astype(f32)[None, :],             # row NOUT+2
+    ]
+    if bk:
+        rows.append(sel_mask.astype(f32)[None, :])   # row NOUT+3
+    smem = jnp.concatenate(rows, axis=0)
     xp = jnp.zeros((1, TD), f32).at[0, :D].set(x.astype(f32))
     Pp = jnp.zeros((pad_d, TD), f32).at[:D, :D].set(P.astype(f32))
-    keepp = jnp.zeros((1, TD), f32).at[0, :D].set(keep_dims.astype(f32))
+    if bk:
+        att, suc_c, sch, act, lab = bookkeeping
+        MF = att.shape[0]
+        assert MF <= 128
+        bkrows = jnp.stack(
+            [att.astype(f32), suc_c.astype(f32), sch.astype(f32),
+             act.astype(f32), lab.astype(f32)], axis=0
+        )                                            # [5, MF]
+        keepp = jnp.zeros((8, 128), f32).at[:5, :MF].set(bkrows)
+        seli = jnp.concatenate(
+            [offs.astype(jnp.int32), top_idx.astype(jnp.int32)]
+        )
+    else:
+        keepp = jnp.zeros((1, TD), f32).at[0, :D].set(keep_dims.astype(f32))
+        seli = offs.astype(jnp.int32)
 
     kernel = functools.partial(
         _update_kernel_compact,
         D=D, NSEL=NSEL, HXO=HXO, HYO=HYO, RDO=RDO, HO=HO, ZO=NOUT,
-        pad_d=pad_d, pad_m=pad_m,
+        pad_d=pad_d, pad_m=pad_m, bk=bk, mina=mina, frac=frac,
     )
-    ox, oP = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, TD), f32),
+        jax.ShapeDtypeStruct((pad_d, TD), f32),
+    ]
+    if bk:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((8, 128), f32))
+    outs = pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -345,14 +452,19 @@ def pallas_joint_update_norm_compact(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, TD), f32),
-            jax.ShapeDtypeStruct((pad_d, TD), f32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(smem, offs.astype(jnp.int32), xp, Pp, keepp)
-    return ox[0, :D].astype(x.dtype), oP[:D, :D].astype(P.dtype)
+    )(smem, seli, xp, Pp, keepp)
+    x_out = outs[0][0, :D].astype(x.dtype)
+    P_out = outs[1][:D, :D].astype(P.dtype)
+    if not bk:
+        return x_out, P_out
+    obk = outs[2]
+    return (
+        x_out, P_out,
+        obk[0, :MF].astype(bookkeeping[0].dtype),
+        obk[1, :MF].astype(bookkeeping[1].dtype),
+        obk[2, :MF] > 0.5,
+        obk[3, :MF] > 0.5,
+    )

@@ -421,56 +421,68 @@ def make_step(params: Params, dtype=jnp.float64):
         nu_sel = jnp.where(succ[:, None], z_sel - h_sel, 0.0)
         n_matched = jnp.sum(succ).astype(jnp.int32)
 
-        attempts = state.attempts.at[top_idx].add(sel_mask.astype(jnp.int32))
-        successes = state.successes.at[top_idx].add(succ.astype(jnp.int32))
-
         # ---- 4. joint EKF update + normalise (masked) ------------------------
         D = x.shape[0]
         offs = CAM_DIM + SLOT_DIM * top_idx
         any_succ = n_matched > 0
 
-        # ---- 5./6. bad-feature deletion mask + symmetrize --------------------
-        ratio = jnp.where(
-            attempts > 0, successes.astype(dtype) / attempts.astype(dtype), 1.0
-        )
-        bad = (
-            state.active
-            & (attempts >= params.min_attempted_measurements)
-            & (ratio < params.successful_match_fraction)
-        )
-        # exterminate_features iterator-skip replication: delete_feature's
-        # vector::erase invalidates the already-incremented loop iterator
-        # (monoslam.cpp:663-703), so the feature at the list position right
-        # after a deleted one is SKIPPED that frame. It keeps its persistent
-        # scheduled_for_termination_flag_ (feature.h:134) and dies on a later
-        # pass even if its match ratio recovered. Closed form: in list order
-        # (ascending label among active slots, partials included), within
-        # each maximal run of consecutively-scheduled positions only even
-        # run-offsets die this frame.
-        sched1 = (state.sched | bad) & state.active
-        pos = jnp.arange(MF, dtype=jnp.int32)
-        order = jnp.argsort(jnp.where(state.active, state.label, jnp.int32(1 << 30)))
-        S = sched1[order]
-        run_start = jax.lax.cummax(jnp.where(S, 0, pos + 1))
-        kill_pos = S & ((pos - run_start) % 2 == 0)
-        kill = jnp.zeros(MF, bool).at[order].set(kill_pos)
-        sched_after = sched1 & ~kill
         fast_mode = jnp.zeros((), jnp.float64).dtype == jnp.float32
         fused_update = (
             fast_mode and params.use_pallas and not params.batch_mode and D <= 384
         )
+
+        def _xla_bookkeeping():
+            # ---- 5./6. bad-feature deletion mask (XLA form) ----------------
+            attempts = state.attempts.at[top_idx].add(sel_mask.astype(jnp.int32))
+            successes = state.successes.at[top_idx].add(succ.astype(jnp.int32))
+            ratio = jnp.where(
+                attempts > 0,
+                successes.astype(dtype) / attempts.astype(dtype), 1.0,
+            )
+            bad = (
+                state.active
+                & (attempts >= params.min_attempted_measurements)
+                & (ratio < params.successful_match_fraction)
+            )
+            # exterminate_features iterator-skip replication: delete_feature's
+            # vector::erase invalidates the already-incremented loop iterator
+            # (monoslam.cpp:663-703), so the feature at the list position
+            # right after a deleted one is SKIPPED that frame. It keeps its
+            # persistent scheduled_for_termination_flag_ (feature.h:134) and
+            # dies on a later pass even if its match ratio recovered. Closed
+            # form: in list order (ascending label among active slots,
+            # partials included), within each maximal run of consecutively-
+            # scheduled positions only even run-offsets die this frame.
+            sched1 = (state.sched | bad) & state.active
+            pos = jnp.arange(MF, dtype=jnp.int32)
+            order = jnp.argsort(
+                jnp.where(state.active, state.label, jnp.int32(1 << 30))
+            )
+            S = sched1[order]
+            run_start = jax.lax.cummax(jnp.where(S, 0, pos + 1))
+            kill_pos = S & ((pos - run_start) % 2 == 0)
+            kill = jnp.zeros(MF, bool).at[order].set(kill_pos)
+            return attempts, successes, kill, sched1 & ~kill
+
         if fused_update and fast_kpath:
             # update + normalise + gate + delete-zeroing + symmetrize as ONE
             # kernel (pallas_ekf.py); H/R/nu are assembled IN-KERNEL from the
-            # measurement kernel's selected-column block, so the one-hot
-            # einsum + R scatter + pad copies below never hit the XLA graph.
-            # delete_mask then only flips the per-slot flags.
-            keep_dims = jnp.concatenate(
-                [jnp.ones(CAM_DIM, bool), jnp.repeat(~kill, SLOT_DIM)]
-            )
-            x, P = pallas_joint_update_norm_compact(
-                x, P, sel, z_sel, succ, offs.astype(jnp.int32), keep_dims,
-                meas_rows=(pmeas.O_HX, pmeas.O_HY, pmeas.O_RD, pmeas.O_H),
+            # measurement kernel's selected-column block, and the feature
+            # bookkeeping (counter scatter-adds, failure-ratio test, the
+            # exterminate argsort/cummax closed form, keep-dims expansion)
+            # runs in the same kernel. delete_mask then only flips flags.
+            (x, P, attempts, successes, sched_after, kill) = (
+                pallas_joint_update_norm_compact(
+                    x, P, sel, z_sel, succ, offs.astype(jnp.int32), None,
+                    meas_rows=(pmeas.O_HX, pmeas.O_HY, pmeas.O_RD, pmeas.O_H),
+                    bookkeeping=(
+                        state.attempts, state.successes, state.sched,
+                        state.active, state.label,
+                    ),
+                    sel_mask=sel_mask, top_idx=top_idx.astype(jnp.int32),
+                    mina=float(params.min_attempted_measurements),
+                    frac=float(params.successful_match_fraction),
+                )
             )
             mid_state = state._replace(
                 x=x, P=P, attempts=attempts, successes=successes,
@@ -478,6 +490,7 @@ def make_step(params: Params, dtype=jnp.float64):
             )
             mid_state = st.delete_mask(mid_state, kill, zero_xp=False)
         else:
+            attempts, successes, kill, sched_after = _xla_bookkeeping()
             # Scatter the 2x3 feature blocks via a one-hot contraction (a
             # vmapped dynamic_update_slice lowers to a serial while on TPU).
             col_ids = offs[:, None] + jnp.arange(3, dtype=top_idx.dtype)[None, :]
@@ -539,6 +552,11 @@ def make_step(params: Params, dtype=jnp.float64):
             & (n_partial < params.max_features_to_init_at_once)
         )
 
+        # (A round-5 restructure — small-carry proposal cond + the ray
+        # insertion deferred into stage 8's surgery cond — was measured
+        # SLOWER on device: 98.0 vs 91.7 us/frame with the fingerprint
+        # unchanged. The full-state cond pair below stays; see BENCH_SUITE
+        # negative results.)
         # the whole proposal+detection pipeline is skipped via lax.cond on
         # frames that fail the cheap gates (steady-state maps rarely init)
         if "init" in _ABLATE_FORCE:

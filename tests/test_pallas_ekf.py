@@ -204,3 +204,94 @@ def test_compact_update_large_d(rng):
     np.testing.assert_array_equal(np.asarray(got_P), np.asarray(got_P).T)
     assert np.all(np.asarray(got_P)[~keep, :] == 0.0)
     assert np.all(np.asarray(got_x)[~keep] == 0.0)
+
+
+def test_compact_update_bookkeeping(rng):
+    """The in-kernel bookkeeping (counter scatter-adds, failure-ratio test,
+    exterminate iterator-skip closed form, keep-dims expansion) must equal
+    the XLA chain it replaces (runtime/step.py _xla_bookkeeping)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scenelib2_tpu.kernels import pallas_measure as pm
+    from scenelib2_tpu.kernels.pallas_ekf import pallas_joint_update_norm_compact
+
+    MF, NSEL = 12, 5
+    D = CAM_DIM + SLOT_DIM * MF
+    MINA, FRAC = 10, 0.5
+
+    for trial in range(6):
+        A = rng.normal(size=(D, D))
+        P = A @ A.T / D * 1e-3 + np.eye(D) * 1e-4
+        x = rng.normal(size=D) * 0.1
+        x[3:7] = rng.normal(size=4)
+        x[3:7] /= np.linalg.norm(x[3:7]) * (1.0 + 1e-3)
+
+        sel = np.zeros((pm.NOUT, NSEL), np.float32)
+        hx = rng.normal(size=(NSEL, 2, 7)).astype(np.float32)
+        hy = rng.normal(size=(NSEL, 2, 3)).astype(np.float32)
+        Rd = rng.uniform(1.0, 2.0, NSEL).astype(np.float32)
+        h = rng.uniform(20, 200, (NSEL, 2)).astype(np.float32)
+        z = (h + rng.normal(0, 1.0, (NSEL, 2))).astype(np.float32)
+        sel[pm.O_HX : pm.O_HX + 14] = hx.reshape(NSEL, 14).T
+        sel[pm.O_HY : pm.O_HY + 6] = hy.reshape(NSEL, 6).T
+        sel[pm.O_RD] = Rd
+        sel[pm.O_H : pm.O_H + 2] = h.T
+
+        active = rng.uniform(size=MF) > 0.2
+        sel_mask = rng.uniform(size=NSEL) > 0.2
+        succ = sel_mask & (rng.uniform(size=NSEL) > 0.4)
+        top_idx = rng.choice(MF, NSEL, replace=False).astype(np.int32)
+        offs = CAM_DIM + SLOT_DIM * top_idx
+        active[top_idx[sel_mask]] = True
+        attempts = rng.integers(0, 14, MF).astype(np.int32) * active
+        successes = (attempts * rng.uniform(0.0, 1.0, MF)).astype(np.int32)
+        sched = (rng.uniform(size=MF) > 0.6) & active
+        # distinct labels among active, stable-ties irrelevant for kill
+        label = np.where(active, rng.permutation(MF).astype(np.int32), -1)
+
+        # XLA reference chain (runtime/step.py)
+        att2 = jnp.asarray(attempts).at[jnp.asarray(top_idx)].add(
+            jnp.asarray(sel_mask, jnp.int32))
+        suc2 = jnp.asarray(successes).at[jnp.asarray(top_idx)].add(
+            jnp.asarray(succ, jnp.int32))
+        ratio = jnp.where(att2 > 0, suc2.astype(jnp.float32) / att2.astype(jnp.float32), 1.0)
+        bad = jnp.asarray(active) & (att2 >= MINA) & (ratio < FRAC)
+        sched1 = (jnp.asarray(sched) | bad) & jnp.asarray(active)
+        pos = jnp.arange(MF, dtype=jnp.int32)
+        order = jnp.argsort(jnp.where(jnp.asarray(active), jnp.asarray(label),
+                                      jnp.int32(1 << 30)))
+        S = sched1[order]
+        run_start = jax.lax.cummax(jnp.where(S, 0, pos + 1))
+        kill_pos = S & ((pos - run_start) % 2 == 0)
+        want_kill = np.asarray(jnp.zeros(MF, bool).at[order].set(kill_pos))
+        want_sched = np.asarray(sched1 & ~jnp.asarray(want_kill))
+        keep = np.ones(D, bool)
+        for i in np.where(want_kill)[0]:
+            keep[CAM_DIM + SLOT_DIM * i : CAM_DIM + SLOT_DIM * (i + 1)] = False
+
+        want_x, want_P = pallas_joint_update_norm_compact(
+            jnp.asarray(x), jnp.asarray(P), jnp.asarray(sel), jnp.asarray(z),
+            jnp.asarray(succ), jnp.asarray(offs), jnp.asarray(keep),
+            meas_rows=(pm.O_HX, pm.O_HY, pm.O_RD, pm.O_H), interpret=True,
+        )
+        got_x, got_P, got_att, got_suc, got_sched, got_kill = (
+            pallas_joint_update_norm_compact(
+                jnp.asarray(x), jnp.asarray(P), jnp.asarray(sel),
+                jnp.asarray(z), jnp.asarray(succ), jnp.asarray(offs), None,
+                meas_rows=(pm.O_HX, pm.O_HY, pm.O_RD, pm.O_H), interpret=True,
+                bookkeeping=(
+                    jnp.asarray(attempts), jnp.asarray(successes),
+                    jnp.asarray(sched), jnp.asarray(active), jnp.asarray(label),
+                ),
+                sel_mask=jnp.asarray(sel_mask),
+                top_idx=jnp.asarray(top_idx),
+                mina=float(MINA), frac=float(FRAC),
+            )
+        )
+        np.testing.assert_array_equal(np.asarray(got_kill), want_kill)
+        np.testing.assert_array_equal(np.asarray(got_sched), want_sched)
+        np.testing.assert_array_equal(np.asarray(got_att), np.asarray(att2))
+        np.testing.assert_array_equal(np.asarray(got_suc), np.asarray(suc2))
+        np.testing.assert_array_equal(np.asarray(got_x), np.asarray(want_x))
+        np.testing.assert_array_equal(np.asarray(got_P), np.asarray(want_P))
