@@ -29,8 +29,13 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+# force CPU for the f64 legs (the session env pins JAX_PLATFORMS=axon; the
+# env var alone is also not enough once jax is imported — set the config too)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_ENABLE_X64"] = "1"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 DECISION_FIELDS = (
     "n_visible", "n_selected", "n_matched", "n_active", "n_partial",
