@@ -34,31 +34,37 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _search_body(smem_ref, win, out_ref, *, side_v, side_u,
-                 boxsize, no_sigma, corr_sigma_thresh, pad_v, pad_u, W, H):
-    """Shared search pipeline on an in-register window value.
+# small-regime slab: output rows SLAB - boxsize + 1 = 30 cover every
+# steady-state ellipse (halfheight >= 3 from the R >= sd^2 noise floor,
+# converged features sit at 3-10 px); taller bands take the full-window path
+_SLAB = 40
 
-    smem_ref (SMEM [1,2,128]): row 0 = patch row-major in lanes
-    0..boxsize^2-1; row 1 = params u0 v0 uc vc a b c active sg0 sg0sq.
-    win        [pad_v,pad_u] f32 image window (cells beyond the
-               (side+boxsize-1)^2 true window may hold arbitrary values —
-               every candidate the masks admit reads only true-window cells)
-    out_ref    (VMEM [1,8,128]) f32: lanes 0..3 of row 0 = best,u,v,overflow
+
+def _score_and_select(smem_ref, win, rows, row_off, *, side_v, side_u,
+                      boxsize, no_sigma, corr_sigma_thresh, pad_u, W, H):
+    """NSSD + masks + masked min/tie over `rows` window rows starting at
+    window-row `row_off` (traced scalar). Returns (best, kbest, over) scalars.
+
+    win [rows, pad_u] f32; cells beyond the true window may hold arbitrary
+    finite values — every candidate the masks admit reads only true-window
+    cells, and the per-cell corr values are grouping-independent (integer u8
+    sums, exact in f32), so any row restriction that covers the mask's row
+    support yields identical (best, kbest).
     """
     n = float(boxsize * boxsize)
+    rows_pad = win.shape[0]
 
-    # pltpu.roll requires non-negative shifts: roll by (size - d) == roll by -d
     def shift0(x, dy):
-        return x if dy == 0 else pltpu.roll(x, pad_v - dy, 0)
+        return x if dy == 0 else pltpu.roll(x, rows_pad - dy, 0)
 
     def shift1(x, dx):
         return x if dx == 0 else pltpu.roll(x, pad_u - dx, 1)
 
     # Top-left indexed sums, column (sublane) direction first so the
     # shift0(win, dy) copies are shared with the cross loop below; lane rolls
-    # (the expensive shuffle on v5e) stay at B-1 per reduced array. All values
-    # are integer-valued u8 sums < 2^24, so every f32 sum is EXACT regardless
-    # of accumulation order (same trick as pallas_score_map).
+    # (the expensive shuffle on v5e) stay at B-1 per reduced array. All
+    # values are integer-valued u8 sums < 2^24, so every f32 sum is EXACT
+    # regardless of accumulation order (same trick as pallas_score_map).
     win2 = win * win
     colsum = win
     colsum2 = win2
@@ -94,8 +100,11 @@ def _search_body(smem_ref, win, out_ref, *, side_v, side_u,
     c = smem_ref[0, 1, 6]
     half = (boxsize - 1) // 2
 
-    uu = u0 + jax.lax.broadcasted_iota(jnp.int32, (pad_v, pad_u), 1)
-    vv = v0 + jax.lax.broadcasted_iota(jnp.int32, (pad_v, pad_u), 0)
+    uu = u0 + jax.lax.broadcasted_iota(jnp.int32, (rows_pad, pad_u), 1)
+    vv = (v0 + row_off) + jax.lax.broadcasted_iota(
+        jnp.int32, (rows_pad, pad_u), 0
+    )
+    valid_row = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, pad_u), 0) < rows
     in_side = (uu < u0 + side_u) & (vv < v0 + side_v)
     urel = (uu - uc).astype(jnp.float32)
     vrel = (vv - vc).astype(jnp.float32)
@@ -104,9 +113,9 @@ def _search_body(smem_ref, win, out_ref, *, side_v, side_u,
     box = (jnp.abs(urel) <= halfwidth) & (jnp.abs(vrel) <= halfheight)
     ellipse = a * urel * urel + 2.0 * b * urel * vrel + c * vrel * vrel < no_sigma * no_sigma
     centre_ok = (uu >= half) & (uu <= W - 1 - half) & (vv >= half) & (vv <= H - 1 - half)
-    mask = in_side & box & ellipse & centre_ok & (sd1 >= corr_sigma_thresh) & (
-        sd0 >= corr_sigma_thresh
-    )
+    mask = valid_row & in_side & box & ellipse & centre_ok & (
+        sd1 >= corr_sigma_thresh
+    ) & (sd0 >= corr_sigma_thresh)
 
     vals = jnp.where(mask, corr, 1e6)
     best = jnp.min(vals)
@@ -114,7 +123,10 @@ def _search_body(smem_ref, win, out_ref, *, side_v, side_u,
     tie = (vals == best) & mask
     kbest = jnp.max(jnp.where(tie, key, -1))
     over = (halfwidth > float(side_u // 2)) | (halfheight > float(side_v // 2))
+    return best, kbest, over
 
+
+def _write_result(out_ref, best, kbest, over, *, H):
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     ub = jnp.where(kbest >= 0, kbest // H, -1).astype(jnp.float32)
@@ -130,6 +142,69 @@ def _search_body(smem_ref, win, out_ref, *, side_v, side_u,
         ),
     )
     out_ref[0] = res
+
+
+def _search_body(smem_ref, win, out_ref, *, side_v, side_u,
+                 boxsize, no_sigma, corr_sigma_thresh, pad_v, pad_u, W, H):
+    """Shared search pipeline on an in-register window value.
+
+    smem_ref (SMEM [1,2,128]): row 0 = patch row-major in lanes
+    0..boxsize^2-1; row 1 = params u0 v0 uc vc a b c active sg0 sg0sq.
+    win        [pad_v,pad_u] f32 image window (cells beyond the
+               (side+boxsize-1)^2 true window may hold arbitrary values —
+               every candidate the masks admit reads only true-window cells)
+    out_ref    (VMEM [1,8,128]) f32: lanes 0..3 of row 0 = best,u,v,overflow
+
+    Two regimes: when the ellipse's row band (box_v cap intersect side and
+    centre-validity — the exact row support of the candidate mask) fits the
+    30 output rows of a 40-row slab, only that dynamically-positioned slab
+    is scored (the steady-state case: converged features have halfheight
+    3-10 px); otherwise the whole window is scored as before. Cell-for-cell
+    identical scores, so (best, tie-key, overflow) are bit-equal either way.
+    """
+    kw = dict(side_v=side_v, side_u=side_u, boxsize=boxsize,
+              no_sigma=no_sigma, corr_sigma_thresh=corr_sigma_thresh,
+              pad_u=pad_u, W=W, H=H)
+    if pad_v <= _SLAB + 8:
+        # window too small for the two-regime split to pay
+        best, kbest, over = _score_and_select(
+            smem_ref, win, pad_v, jnp.int32(0), **kw
+        )
+        _write_result(out_ref, best, kbest, over, H=H)
+        return
+
+    v0 = smem_ref[0, 1, 1].astype(jnp.int32)
+    vc = smem_ref[0, 1, 3].astype(jnp.int32)
+    a = smem_ref[0, 1, 4]
+    b = smem_ref[0, 1, 5]
+    c = smem_ref[0, 1, 6]
+    half = (boxsize - 1) // 2
+    hh_f = jnp.floor(no_sigma / jnp.sqrt(c - b * b / a))
+    # clamp to the window extent so int cast and the band arithmetic stay
+    # exact (NaN/huge hh from degenerate S falls through to the full path)
+    hh_ok = (hh_f >= 0.0) & (hh_f < 1e6)
+    hh = jnp.where(hh_ok, hh_f, float(pad_v)).astype(jnp.int32)
+    # row support of the mask, window-relative: vv in [vc-hh, vc+hh] cap
+    # [v0, v0+side_v-1] cap [half, H-1-half]
+    r_lo = jnp.maximum(jnp.maximum(vc - hh, v0), half) - v0
+    r_hi = jnp.minimum(jnp.minimum(vc + hh, v0 + side_v - 1), H - 1 - half) - v0
+    start = jnp.clip((r_lo // 8) * 8, 0, pad_v - _SLAB)
+    small = hh_ok & (r_hi <= start + (_SLAB - boxsize))
+
+    @pl.when(small)
+    def _():
+        slab = pltpu.roll(win, pad_v - start, 0)[:_SLAB, :]
+        best, kbest, over = _score_and_select(
+            smem_ref, slab, _SLAB - boxsize + 1, start, **kw
+        )
+        _write_result(out_ref, best, kbest, over, H=H)
+
+    @pl.when(jnp.logical_not(small))
+    def _():
+        best, kbest, over = _score_and_select(
+            smem_ref, win, pad_v, jnp.int32(0), **kw
+        )
+        _write_result(out_ref, best, kbest, over, H=H)
 
 
 def _search_kernel(smem_ref, win_ref, out_ref, **kw):
