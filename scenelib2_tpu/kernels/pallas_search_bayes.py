@@ -57,8 +57,12 @@ _HI = jax.lax.Precision.HIGHEST
 from scenelib2_tpu.kernels.pallas_bayes import _bayes_tail
 from scenelib2_tpu.kernels.pallas_score_map import nssd_corr_f32
 
-# pred_rows layout (pallas_particle.py output)
+# pred_rows layout (pallas_particle.py output) + the in-kernel predict
+# chain for merged mode (pred_rows=None): the slot geometry prologue and the
+# per-particle tail run in THIS kernel, removing the separate predict
+# dispatch and its HBM round-trip from the single-stream fast path
 from scenelib2_tpu.kernels.pallas_particle import (
+    _NSHARED, _NSLOT, _geometry_prologue, _particle_tail,
     ROW_DET, ROW_HH, ROW_HU, ROW_HV, ROW_HW, ROW_S00, ROW_S01, ROW_S11,
 )
 
@@ -79,19 +83,33 @@ _BIG = float(1 << 24)   # coordinate sentinel (ladder uses 1 << 24), f32-exact
 _MISS = 1e6             # masked-cell score sentinel (ladder's value)
 
 
-def _kernel(smem_ref, corr_ref, pred_ref, pl_ref, *rest,
+def _kernel(smem_ref, corr_ref, *refs,
             NP, NP_pad, P_sub, H, W, W_pad, win_radius, no_sigma,
             corr_thresh2, prune_prob_thresh, sd_depth_ratio, min_particles,
             erase_partial_after_attempts, MF_pad=None, compute_score=False,
-            boxsize=11, corr_sigma_thresh=10.0, low_sigma_penalty=5.0):
+            boxsize=11, corr_sigma_thresh=10.0, low_sigma_penalty=5.0,
+            pred_geom=None):
+    if pred_geom is None:
+        pred_ref, pl_ref = refs[:2]
+        rest = refs[2:]
+    else:
+        shared_ref, slot_ref, pl_ref = refs[:3]
+        rest = refs[3:]
     if MF_pad is None:
-        out_ref, cb_ref, ck_ref = rest
+        if pred_geom is None:
+            out_ref, cb_ref, ck_ref = rest
+        else:
+            out_ref, pred_out_ref, cb_ref, ck_ref = rest
     else:
         # full-width mode: pl_ref is [3, MF_pad, NP_pad] whole-state rows,
         # the slot row is picked in-kernel by pidx (smem lane 3), and the
         # updated prob/palive are written back full-width (pass-through copy
         # for every other row) — no XLA gathers/scatters around the kernel
-        out_ref, prob_out_ref, alive_out_ref, cb_ref, ck_ref = rest
+        if pred_geom is None:
+            out_ref, prob_out_ref, alive_out_ref, cb_ref, ck_ref = rest
+        else:
+            (out_ref, pred_out_ref, prob_out_ref, alive_out_ref,
+             cb_ref, ck_ref) = rest
     lane = jax.lax.broadcasted_iota(jnp.int32, (NP_pad,), 0)
     zero = jnp.zeros((NP_pad,), jnp.float32)
 
@@ -101,16 +119,6 @@ def _kernel(smem_ref, corr_ref, pred_ref, pl_ref, *rest,
     valid = lane < NP
     making = vec(smem_ref[0, 0, 0]) > 0.0
 
-    def prow(i):
-        return pred_ref[0, i, :]
-
-    hu = prow(ROW_HU)
-    hv = prow(ROW_HV)
-    s00 = prow(ROW_S00)
-    s01 = prow(ROW_S01)
-    s11 = prow(ROW_S11)
-    hw = prow(ROW_HW)
-    hh = prow(ROW_HH)
     if MF_pad is None:
         prob_in = pl_ref[0, _PL_PROB, :]
         lam_in = pl_ref[0, _PL_LAM, :]
@@ -129,6 +137,40 @@ def _kernel(smem_ref, corr_ref, pred_ref, pl_ref, *rest,
         lam_in = pick(_PL_LAM)
         alive_in = pick(_PL_ALIVE)
     palive = (alive_in > 0.0) & valid
+
+    if pred_geom is None:
+
+        def prow(i):
+            return pred_ref[0, i, :]
+
+    else:
+        # merged predict: the slot geometry prologue + per-particle tail of
+        # pallas_particle_predict_fused run here — identical op order and
+        # the same lambda-padding convention (1.0 beyond NP keeps the math
+        # finite), so the 8 rows are bit-equal to the separate kernel's
+        def sh(i):
+            return shared_ref[0, i]
+
+        def sl(i):
+            return slot_ref[0, i]
+
+        zr, zh, K0g, Ksg, K2g = _geometry_prologue(sh, sl)
+        lam_tail = jnp.where(valid, lam_in, 1.0)
+        pred = _particle_tail(
+            lam_tail, zr, zh, K0g, Ksg, K2g, no_sigma=no_sigma, **pred_geom
+        )
+        pred_out_ref[0] = pred
+
+        def prow(i):
+            return pred[i]
+
+    hu = prow(ROW_HU)
+    hv = prow(ROW_HV)
+    s00 = prow(ROW_S00)
+    s01 = prow(ROW_S01)
+    s11 = prow(ROW_S11)
+    hw = prow(ROW_HW)
+    hh = prow(ROW_HH)
 
     R = float(win_radius)
     side_u = float(min(2 * win_radius + 1, W))
@@ -408,11 +450,14 @@ def _kernel(smem_ref, corr_ref, pred_ref, pl_ref, *rest,
                      "prune_prob_thresh", "sd_depth_ratio", "min_particles",
                      "erase_partial_after_attempts", "image_shape",
                      "interpret", "corr_padded", "boxsize",
-                     "corr_sigma_thresh", "low_sigma_penalty"),
+                     "corr_sigma_thresh", "low_sigma_penalty",
+                     "cam_static", "sd0"),
 )
 def pallas_search_bayes(
     corr_maps: jnp.ndarray,       # [F,H,W] f32 penalized score maps
-    pred_rows: jnp.ndarray,       # [F,8,NP_pad] raw particle-predict rows
+    pred_rows,                    # [F,8,NP_pad] raw particle-predict rows,
+                                  # or None: merged mode — the predict chain
+                                  # runs in-kernel from shared/slot_rows
     prob: jnp.ndarray,            # [F,NP]
     lam: jnp.ndarray,             # [F,NP]
     palive: jnp.ndarray,          # [F,NP] bool
@@ -438,11 +483,16 @@ def pallas_search_bayes(
     boxsize: int = 11,
     corr_sigma_thresh: float = 10.0,
     low_sigma_penalty: float = 5.0,
+    shared: jnp.ndarray | None = None,     # [1,_NSHARED] merged-mode camera row
+    slot_rows: jnp.ndarray | None = None,  # [F,_NSLOT] merged-mode slot rows
+    cam_static: tuple | None = None,       # (fku,fkv,u0,v0,kd1) merged mode
+    sd0: float | None = None,              # measurement noise sd, merged mode
 ):
     """Returns (prob_f, palive_f bool, mean [F], cov [F], convert [F] bool,
     kill [F] bool, n_over [F] i32, found [F,NP] bool, z [F,NP,2],
     best [F,NP]) — the pallas_bayes_update outputs plus the search results
-    (for diagnostics/tests).
+    (for diagnostics/tests). Merged mode (pred_rows=None) appends the
+    in-kernel particle-predict rows pred [F,8,NP_pad] as an 11th element.
 
     Compact mode (pidx=None): prob/lam/palive are the [F,NP] slot rows and
     prob_f/palive_f come back [F,NP]. Full-width mode (pidx given, F==1):
@@ -464,7 +514,26 @@ def pallas_search_bayes(
     NP_pad = max(_round_up(NP, 128), 128)
     P_sub = _round_up(NP, 8)
     H, W = image_shape
-    assert pred_rows.shape[1:] == (8, NP_pad), pred_rows.shape
+    merged = pred_rows is None
+    if merged:
+        assert shared is not None and slot_rows is not None
+        assert cam_static is not None and sd0 is not None
+        assert shared.shape == (1, _NSHARED)
+        assert slot_rows.shape == (F, _NSLOT)
+        import numpy as _np
+
+        fku, fkv, u0c, v0c, kd1 = cam_static
+        maxdist = float(_np.sqrt(
+            _np.float32(u0c) * _np.float32(u0c)
+            + _np.float32(v0c) * _np.float32(v0c)
+        ))
+        pred_geom = dict(
+            fku=float(fku), fkv=float(fkv), u0c=float(u0c), v0c=float(v0c),
+            kd1=float(kd1), sd0=float(sd0), maxdist=maxdist,
+        )
+    else:
+        pred_geom = None
+        assert pred_rows.shape[1:] == (8, NP_pad), pred_rows.shape
     frame_mode = patch_row is not None
     if frame_mode:
         assert F == 1, "frame mode handles a single partial slot"
@@ -520,53 +589,67 @@ def pallas_search_bayes(
         compute_score=frame_mode, boxsize=boxsize,
         corr_sigma_thresh=float(corr_sigma_thresh),
         low_sigma_penalty=float(low_sigma_penalty),
+        pred_geom=pred_geom,
     )
     in_specs = [
         pl.BlockSpec((1, smem_rows, 128), lambda f: (f, 0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, H_pad, W_pad), lambda f: (f, 0, 0)),
-        pl.BlockSpec((1, 8, NP_pad), lambda f: (f, 0, 0)),
-        (
-            pl.BlockSpec((3, MF_pad, NP_pad), lambda f: (0, 0, 0))
-            if full
-            else pl.BlockSpec((1, 3, NP_pad), lambda f: (f, 0, 0))
-        ),
     ]
+    if merged:
+        in_specs += [
+            pl.BlockSpec((1, _NSHARED), lambda f: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _NSLOT), lambda f: (f, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        operands = (smem, corr_p, shared.astype(jnp.float32),
+                    slot_rows.astype(jnp.float32), pl_rows)
+    else:
+        in_specs.append(pl.BlockSpec((1, 8, NP_pad), lambda f: (f, 0, 0)))
+        operands = (smem, corr_p, pred_rows.astype(jnp.float32), pl_rows)
+    in_specs.append(
+        pl.BlockSpec((3, MF_pad, NP_pad), lambda f: (0, 0, 0))
+        if full
+        else pl.BlockSpec((1, 3, NP_pad), lambda f: (f, 0, 0))
+    )
     misc_spec = pl.BlockSpec((1, 8, NP_pad), lambda f: (f, 0, 0))
     misc_shape = jax.ShapeDtypeStruct((F, 8, NP_pad), jnp.float32)
+    out_specs = [misc_spec]
+    out_shape = [misc_shape]
+    if merged:
+        out_specs.append(pl.BlockSpec((1, 8, NP_pad), lambda f: (f, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((F, 8, NP_pad), jnp.float32))
     if full:
-        out_specs = (
-            misc_spec,
+        out_specs += [
             pl.BlockSpec((MF_pad, NP_pad), lambda f: (0, 0)),
             pl.BlockSpec((MF_pad, NP_pad), lambda f: (0, 0)),
-        )
-        out_shape = (
-            misc_shape,
+        ]
+        out_shape += [
             jax.ShapeDtypeStruct((MF_pad, NP_pad), jnp.float32),
             jax.ShapeDtypeStruct((MF_pad, NP_pad), jnp.float32),
-        )
-    else:
-        out_specs = misc_spec
-        out_shape = misc_shape
+        ]
     res = pl.pallas_call(
         kernel,
         grid=(F,),
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+        out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((P_sub, W_pad), jnp.float32),
             pltpu.VMEM((P_sub, W_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(smem, corr_p, pred_rows.astype(jnp.float32), pl_rows)
+    )(*operands)
 
+    res = res if isinstance(res, (tuple, list)) else (res,)
+    out = res[0]
+    pred_out = res[1] if merged else None
     if full:
-        out, prob_full, alive_full = res
+        prob_full, alive_full = res[-2], res[-1]
         prob_f = prob_full[:MF, :NP].astype(prob.dtype)
         palive_f = alive_full[:MF, :NP] > 0.0
     else:
-        out = res
         prob_f = out[:, ROW_PROB, :NP].astype(prob.dtype)
         palive_f = out[:, ROW_ALIVE, :NP] > 0.0
     mean = out[:, ROW_SCAL, LANE_MEAN].astype(prob.dtype)
@@ -577,4 +660,7 @@ def pallas_search_bayes(
     found = out[:, ROW_FOUND, :NP] > 0.0
     z = jnp.stack([out[:, ROW_ZU, :NP], out[:, ROW_ZV, :NP]], axis=-1)
     best = out[:, ROW_BEST, :NP]
-    return prob_f, palive_f, mean, cov, convert, kill, n_over, found, z, best
+    base = (prob_f, palive_f, mean, cov, convert, kill, n_over, found, z, best)
+    if merged:
+        return base + (pred_out,)
+    return base

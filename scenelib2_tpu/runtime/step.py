@@ -973,7 +973,25 @@ def _match_partial_features(state: SlamState, corr_maps,
             K2 = N2 @ CN2
             return zeroed, K0, K12 + K12.T, K2
 
-        if (params.batch_mode and not params.batch_pallas) or not params.use_pallas:
+        if fused_sb:
+            # merged predict: the whole per-particle chain runs INSIDE
+            # pallas_search_bayes (one dispatch instead of two and no HBM
+            # round-trip for the pred rows); here only its SMEM operand rows
+            # are packed (same layout as the predict kernel wrapper). hpi /
+            # sinv for the AR outputs are rebuilt from the returned rows.
+            hpi = sinv = dets = pred_raw = None
+            sb_shared = jnp.concatenate(
+                [xp.astype(jnp.float32), Pxx7.reshape(49).astype(jnp.float32)]
+            ).reshape(1, -1)
+            sb_slot = jnp.concatenate(
+                [
+                    ys6.astype(jnp.float32),
+                    pxy6[:, :7, :].reshape(MAXP, 42).astype(jnp.float32),
+                    pyy6.reshape(MAXP, 36).astype(jnp.float32),
+                ],
+                axis=1,
+            )
+        elif (params.batch_mode and not params.batch_pallas) or not params.use_pallas:
             zeroed_c, K0c, Ksymc, K2c = jax.vmap(slot_geom)(ys6, pxy6, pyy6)
 
             def kform_slot(zeroed, K0, Ksym, K2, lam_row):
@@ -1064,15 +1082,30 @@ def _match_partial_features(state: SlamState, corr_maps,
                 params.cam_height, params.cam_width
             )
             (prob_full, palive_full, mean, cov, convert_mask, kill_c,
-             n_over_slot, _found, _z, _best) = pallas_search_bayes(
-                corr_maps.astype(jnp.float32), pred_raw, state.prob,
+             n_over_slot, _found, _z, _best, sb_pred) = pallas_search_bayes(
+                corr_maps.astype(jnp.float32), None, state.prob,
                 state.lam, state.palive, making, pmask, match_attempts[pidx],
                 pidx=pidx[0], corr_padded=pre_padded,
                 patch_row=state.patch_rows[pidx[0]] if frame_mode else None,
                 boxsize=params.boxsize,
                 corr_sigma_thresh=params.corr_sigma_thresh,
-                low_sigma_penalty=params.low_sigma_penalty, **kw,
+                low_sigma_penalty=params.low_sigma_penalty,
+                shared=sb_shared, slot_rows=sb_slot,
+                cam_static=(cam.fku, cam.fkv, cam.u0, cam.v0, cam.kd1),
+                sd0=cam.sd, **kw,
             )
+            # AR diagnostics from the merged kernel's pred rows (same slices
+            # as the predict wrapper)
+            from scenelib2_tpu.kernels.pallas_particle import (
+                ROW_HU, ROW_HV, ROW_S00, ROW_S01, ROW_S11,
+            )
+
+            pr = sb_pred[:, :, :NP]
+            hpi = jnp.stack([pr[:, ROW_HU], pr[:, ROW_HV]], axis=-1)
+            sinv = jnp.stack(
+                [pr[:, ROW_S00], pr[:, ROW_S01], pr[:, ROW_S01],
+                 pr[:, ROW_S11]], axis=-1
+            ).reshape(MAXP, NP, 2, 2)
         else:
             # MAXP > 1: heavy() hands over padded score maps in single-stream
             # mode (return_padded=not batch_mode) — tell the kernel so its

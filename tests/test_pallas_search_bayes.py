@@ -277,3 +277,104 @@ def test_frame_mode_matches_precomputed_score_map():
         np.testing.assert_allclose(
             np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-6, atol=1e-9
         )
+
+
+def test_merged_predict_matches_two_stage():
+    """Merged mode (pred_rows=None: the particle-predict chain runs inside
+    the search+Bayes kernel) must be bit-equal to the two-kernel pipeline
+    (pallas_particle_predict_fused -> pallas_search_bayes) on real ray
+    geometry, in both full-width and compact modes."""
+    from scenelib2_tpu.kernels.pallas_particle import (
+        _NSHARED, pallas_particle_predict_fused,
+    )
+
+    rng = np.random.default_rng(11)
+    CAM = (195.0, 195.0, 162.0, 125.0, 9e-6)
+    SD0 = 1.0
+    F = 1
+    MF = 8
+    corr = jnp.asarray(rng.uniform(0.0, 2.0, size=(F, H, W)).astype(np.float32))
+
+    # plausible camera + ray slots
+    xp = np.zeros(7, np.float32)
+    xp[:3] = rng.normal(0, 0.05, 3)
+    q = rng.normal(0, 1, 4); q /= np.linalg.norm(q) * (1 + 2e-4)
+    xp[3:] = q
+    A = rng.normal(size=(7, 7)) * 0.02
+    pxx7 = (A @ A.T + np.eye(7) * 1e-4).astype(np.float32)
+    ys6 = np.zeros((F, 6), np.float32)
+    ys6[:, :3] = xp[:3] + rng.normal(0, 0.02, (F, 3))
+    d = rng.normal(0, 1, (F, 3)); d[:, 2] = np.abs(d[:, 2]) + 1.5
+    ys6[:, 3:] = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    B6 = rng.normal(size=(F, 13, 13)) * 0.02
+    C13 = np.einsum("fij,fkj->fik", B6, B6) + np.eye(13) * 1e-5
+    pxy = C13[:, :13, 7:13][:, :, :6].astype(np.float32)   # [F,13,6]
+    pyy = C13[:, 7:13, 7:13].astype(np.float32)            # [F,6,6]
+    lam = np.linspace(0.5, 5.0, NP, dtype=np.float32)[None].repeat(F, 0)
+
+    prob = rng.uniform(0.1, 1.0, (MF, NP)).astype(np.float32)
+    prob /= prob.sum(axis=1, keepdims=True)
+    lam_full = np.tile(lam, (MF, 1))
+    palive = np.ones((MF, NP), bool)
+    pidx = 3
+    making = np.array([True])
+    pmask = np.ones(F, bool)
+    attempts = np.array([4], np.int32)
+
+    hpi, sinv, dets, _, _, pred_raw = pallas_particle_predict_fused(
+        jnp.asarray(ys6), jnp.asarray(pxy), jnp.asarray(pyy),
+        jnp.asarray(xp), jnp.asarray(pxx7), jnp.asarray(lam),
+        fku=CAM[0], fkv=CAM[1], u0c=CAM[2], v0c=CAM[3], kd1=CAM[4],
+        sd0=SD0, no_sigma=NO_SIGMA, interpret=True, return_raw=True,
+    )
+    kw = dict(image_shape=(H, W), win_radius=32, no_sigma=NO_SIGMA,
+              corr_thresh2=THRESH, interpret=True)
+
+    shared = jnp.concatenate(
+        [jnp.asarray(xp), jnp.asarray(pxx7).reshape(49)]
+    ).reshape(1, _NSHARED)
+    slot_rows = jnp.concatenate(
+        [jnp.asarray(ys6), jnp.asarray(pxy[:, :7, :]).reshape(F, 42),
+         jnp.asarray(pyy).reshape(F, 36)], axis=1)
+
+    # full-width mode
+    want = pallas_search_bayes(
+        corr, pred_raw, jnp.asarray(prob), jnp.asarray(lam_full),
+        jnp.asarray(palive), jnp.asarray(making), jnp.asarray(pmask),
+        jnp.asarray(attempts), pidx=jnp.int32(pidx), **kw,
+    )
+    got = pallas_search_bayes(
+        corr, None, jnp.asarray(prob), jnp.asarray(lam_full),
+        jnp.asarray(palive), jnp.asarray(making), jnp.asarray(pmask),
+        jnp.asarray(attempts), pidx=jnp.int32(pidx),
+        shared=shared, slot_rows=slot_rows, cam_static=CAM, sd0=SD0, **kw,
+    )
+    assert len(got) == len(want) + 1
+    for i, (g, w) in enumerate(zip(got[:-1], want)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w), err_msg=str(i))
+    # pred rows: bit-equal except ROW_DET, where the compiler is free to
+    # contract s00*s11 - s01*s01 into an FMA differently in the two graphs
+    # (observed: exactly 1 ulp of the product magnitude on a few lanes).
+    # Every decision output above is still bit-equal; the e2e fingerprint
+    # guards the device build.
+    gp, wp = np.asarray(got[-1]), np.asarray(pred_raw)
+    det_row = 5
+    keep = np.ones(gp.shape[1], bool)
+    keep[det_row] = False
+    np.testing.assert_array_equal(gp[:, keep], wp[:, keep])
+    np.testing.assert_allclose(gp[:, det_row], wp[:, det_row], rtol=1e-5)
+
+    # compact mode
+    want_c = pallas_search_bayes(
+        corr, pred_raw, jnp.asarray(prob[pidx : pidx + 1]),
+        jnp.asarray(lam), jnp.asarray(palive[pidx : pidx + 1]),
+        jnp.asarray(making), jnp.asarray(pmask), jnp.asarray(attempts), **kw,
+    )
+    got_c = pallas_search_bayes(
+        corr, None, jnp.asarray(prob[pidx : pidx + 1]),
+        jnp.asarray(lam), jnp.asarray(palive[pidx : pidx + 1]),
+        jnp.asarray(making), jnp.asarray(pmask), jnp.asarray(attempts),
+        shared=shared, slot_rows=slot_rows, cam_static=CAM, sd0=SD0, **kw,
+    )
+    for i, (g, w) in enumerate(zip(got_c[:-1], want_c)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w), err_msg=str(i))
