@@ -34,10 +34,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-# small-regime slab: output rows SLAB - boxsize + 1 = 30 cover every
-# steady-state ellipse (halfheight >= 3 from the R >= sd^2 noise floor,
-# converged features sit at 3-10 px); taller bands take the full-window path
-_SLAB = 40
+# small-regime slab tiers: a band that fits a tier's output rows
+# (SLAB - boxsize + 1) is scored on that dynamically-positioned slab alone;
+# taller bands fall through to the next tier / the full window. Converged
+# features sit at halfheight 3-10 px (the R >= sd^2 noise floor makes
+# halfheight >= 3), so the 32-row tier (22 output rows) is the steady state
+# and the 48-row tier catches mid-convergence ellipses.
+_SLABS = (32, 48)
 
 
 def _score_and_select(smem_ref, win, rows, row_off, *, side_v, side_u,
@@ -155,18 +158,19 @@ def _search_body(smem_ref, win, out_ref, *, side_v, side_u,
                every candidate the masks admit reads only true-window cells)
     out_ref    (VMEM [1,8,128]) f32: lanes 0..3 of row 0 = best,u,v,overflow
 
-    Two regimes: when the ellipse's row band (box_v cap intersect side and
-    centre-validity — the exact row support of the candidate mask) fits the
-    30 output rows of a 40-row slab, only that dynamically-positioned slab
-    is scored (the steady-state case: converged features have halfheight
-    3-10 px); otherwise the whole window is scored as before. Cell-for-cell
-    identical scores, so (best, tie-key, overflow) are bit-equal either way.
+    Tiered regimes: when the ellipse's row band (box_v cap intersect side
+    and centre-validity — the exact row support of the candidate mask) fits
+    a tier's output rows, only that dynamically-positioned slab is scored
+    (the steady-state case: converged features have halfheight 3-10 px);
+    otherwise the whole window is scored as before. Cell-for-cell identical
+    scores, so (best, tie-key, overflow) are bit-equal in every regime.
     """
     kw = dict(side_v=side_v, side_u=side_u, boxsize=boxsize,
               no_sigma=no_sigma, corr_sigma_thresh=corr_sigma_thresh,
               pad_u=pad_u, W=W, H=H)
-    if pad_v <= _SLAB + 8:
-        # window too small for the two-regime split to pay
+    slabs = [s for s in _SLABS if s + 8 < pad_v]
+    if not slabs:
+        # window too small for the tiered split to pay
         best, kbest, over = _score_and_select(
             smem_ref, win, pad_v, jnp.int32(0), **kw
         )
@@ -188,18 +192,28 @@ def _search_body(smem_ref, win, out_ref, *, side_v, side_u,
     # [v0, v0+side_v-1] cap [half, H-1-half]
     r_lo = jnp.maximum(jnp.maximum(vc - hh, v0), half) - v0
     r_hi = jnp.minimum(jnp.minimum(vc + hh, v0 + side_v - 1), H - 1 - half) - v0
-    start = jnp.clip((r_lo // 8) * 8, 0, pad_v - _SLAB)
-    small = hh_ok & (r_hi <= start + (_SLAB - boxsize))
+    start8 = (r_lo // 8) * 8
 
-    @pl.when(small)
-    def _():
-        slab = pltpu.roll(win, pad_v - start, 0)[:_SLAB, :]
-        best, kbest, over = _score_and_select(
-            smem_ref, slab, _SLAB - boxsize + 1, start, **kw
-        )
-        _write_result(out_ref, best, kbest, over, H=H)
+    fits = []
+    for s in slabs:
+        start_s = jnp.clip(start8, 0, pad_v - s)
+        fits.append(hh_ok & (r_hi <= start_s + (s - boxsize)))
 
-    @pl.when(jnp.logical_not(small))
+    prev_fit = None
+    for s, fit in zip(slabs, fits):
+        tier_on = fit if prev_fit is None else (fit & ~prev_fit)
+        prev_fit = fit if prev_fit is None else (prev_fit | fit)
+
+        @pl.when(tier_on)
+        def _(s=s):
+            start_s = jnp.clip(start8, 0, pad_v - s)
+            slab = pltpu.roll(win, pad_v - start_s, 0)[:s, :]
+            best, kbest, over = _score_and_select(
+                smem_ref, slab, s - boxsize + 1, start_s, **kw
+            )
+            _write_result(out_ref, best, kbest, over, H=H)
+
+    @pl.when(jnp.logical_not(prev_fit))
     def _():
         best, kbest, over = _score_and_select(
             smem_ref, win, pad_v, jnp.int32(0), **kw

@@ -247,34 +247,41 @@ def _kernel(smem_ref, corr_ref, *refs,
     uu_chunks = [float(128 * k) + lane_iota_f for k in range(n_chunks)]
     no_sigma2 = float(no_sigma) * float(no_sigma)
 
-    # loop over aligned 8-row blocks (an in-kernel fori iteration costs ~500
-    # cycles of Mosaic loop overhead — pallas_linalg.py — so the 8 rows
-    # inside a block are a STATIC unroll behind cheap scalar pl.when guards)
+    # loop over aligned row blocks (an in-kernel fori iteration costs ~500
+    # cycles of Mosaic loop overhead — pallas_linalg.py — so the rows inside
+    # a block are a STATIC unroll behind cheap scalar pl.when guards).
+    # Frame mode uses 16-row blocks on a 32-row slab: each output row costs
+    # 2 slab-rows of score work instead of 3 (the 8-row/24-slab form
+    # recomputes 16 of 24 rows at every block step) and the fori trip count
+    # halves. The precomputed-map mode keeps 8-row blocks (its aligned block
+    # read would run past the 8-aligned map padding at 16).
+    BR = 16 if compute_score else 8
+    SB = 32
     v_hi_i = v_lo_i + n_rows
-    b_lo = v_lo_i // 8
-    n_blocks = jnp.where(n_rows > 0, (v_hi_i - 1) // 8 - b_lo + 1, 0)
+    b_lo = v_lo_i // BR
+    n_blocks = jnp.where(n_rows > 0, (v_hi_i - 1) // BR - b_lo + 1, 0)
 
     def block_body(bi, _):
-        v_al = (b_lo + bi) * 8
+        v_al = (b_lo + bi) * BR
         if not compute_score:
             block = corr_ref[0, pl.ds(v_al, 8), :]       # [8, W_pad] aligned
             corr24 = None
             sstart = None
         else:
-            # corr_ref holds the padded f32 FRAME; build this block's 8 rows
-            # of the penalized NSSD score map in-kernel from a 24-row slab
+            # corr_ref holds the padded f32 FRAME; build this block's BR rows
+            # of the penalized NSSD score map in-kernel from an SB-row slab
             # (output row v needs image rows v-half..v+half; half=5 < 8).
             # Exact mirror of pallas_score_map's whole-frame kernel: integer
             # sums are order-independent-exact in f32 and the score formula
             # is the shared nssd_corr_f32, so values are bit-identical.
             Hp = corr_ref.shape[1]
             half = (boxsize - 1) // 2
-            sstart = jnp.clip(v_al - 8, 0, Hp - 24)
-            slab = corr_ref[0, pl.ds(pl.multiple_of(sstart, 8), 24), :]
+            sstart = jnp.clip(v_al - 8, 0, Hp - SB)
+            slab = corr_ref[0, pl.ds(pl.multiple_of(sstart, 8), SB), :]
             slab2 = slab * slab
 
             def shift0(x, dy):
-                return x if dy == 0 else pltpu.roll(x, 24 - dy, 0)
+                return x if dy == 0 else pltpu.roll(x, SB - dy, 0)
 
             def shift1(x, dx):
                 return x if dx == 0 else pltpu.roll(x, W_pad - dx, 1)
@@ -303,8 +310,8 @@ def _kernel(smem_ref, corr_ref, *refs,
             corr24 = jnp.where(
                 sd1 < corr_sigma_thresh, corr24 + low_sigma_penalty, corr24
             )
-            uu24 = jax.lax.broadcasted_iota(jnp.int32, (24, W_pad), 1)
-            vv24 = sstart + jax.lax.broadcasted_iota(jnp.int32, (24, W_pad), 0)
+            uu24 = jax.lax.broadcasted_iota(jnp.int32, (SB, W_pad), 1)
+            vv24 = sstart + jax.lax.broadcasted_iota(jnp.int32, (SB, W_pad), 0)
             # tl-indexed -> centre-indexed: lanes shift by half here; rows
             # are picked per output row below at tl = v - half - sstart
             valid24 = (
@@ -314,7 +321,7 @@ def _kernel(smem_ref, corr_ref, *refs,
             corr24 = jnp.where(valid24, corr24, _MISS)
             corr24 = pltpu.roll(corr24, half, 1)
             block = None
-        for r8 in range(8):
+        for r8 in range(BR):
             v = v_al + r8
 
             @pl.when((v >= v_lo_i) & (v < v_hi_i))
@@ -324,7 +331,7 @@ def _kernel(smem_ref, corr_ref, *refs,
                 else:
                     tl = v - (boxsize - 1) // 2 - sstart
                     rowoh = (
-                        jax.lax.broadcasted_iota(jnp.int32, (24, W_pad), 0)
+                        jax.lax.broadcasted_iota(jnp.int32, (SB, W_pad), 0)
                         == tl
                     )
                     picked = jnp.sum(
