@@ -1053,12 +1053,20 @@ def _match_partial_features(state: SlamState, corr_maps,
     # materialized rowband were both measured slower on TPU).
     searchable = palive_c & making[:, None]
 
-    if fast and params.use_pallas and not params.batch_mode:
+    if fast and params.use_pallas and (
+        not params.batch_mode
+        or (params.batch_pallas
+            and os.environ.get("SCENELIB2_BATCH_SB", "1") != "0")
+    ):
         # union-box search + Bayes + decisions as ONE kernel
         # (pallas_search_bayes.py): replaces the lax.cond band ladder, its
         # masked reduces, and the bayes-prep glue — ~150 small XLA ops per
         # firing frame of pure sequencer cost. Decisions bit-equal to the
         # ladder + pallas_bayes_update pipeline (tests/test_pallas_search_bayes).
+        # batch_pallas lanes take the compact (per-slot-rows) mode under the
+        # lane vmap — one grid step per lane — replacing the separate
+        # multi-ellipse-search kernel + Bayes kernel pair and their glue
+        # (SCENELIB2_BATCH_SB=0 restores the pair for A/B).
         from scenelib2_tpu.kernels.pallas_search_bayes import pallas_search_bayes
 
         kw = dict(
