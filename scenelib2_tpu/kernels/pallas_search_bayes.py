@@ -247,16 +247,15 @@ def _kernel(smem_ref, corr_ref, *refs,
     uu_chunks = [float(128 * k) + lane_iota_f for k in range(n_chunks)]
     no_sigma2 = float(no_sigma) * float(no_sigma)
 
-    # loop over aligned row blocks (an in-kernel fori iteration costs ~500
+    # loop over aligned 8-row blocks (an in-kernel fori iteration costs ~500
     # cycles of Mosaic loop overhead — pallas_linalg.py — so the rows inside
     # a block are a STATIC unroll behind cheap scalar pl.when guards).
-    # Frame mode uses 16-row blocks on a 32-row slab: each output row costs
-    # 2 slab-rows of score work instead of 3 (the 8-row/24-slab form
-    # recomputes 16 of 24 rows at every block step) and the fori trip count
-    # halves. The precomputed-map mode keeps 8-row blocks (its aligned block
-    # read would run past the 8-aligned map padding at 16).
-    BR = 16 if compute_score else 8
-    SB = 32
+    # (16-row blocks on a 32-row slab were measured: ~neutral at 320x240 but
+    # +10 us/frame at hires — union boxes there are usually one block tall,
+    # so the wider slab's extra 8 rows of score work dominate the saved
+    # overlap. 8-row/24-slab stays.)
+    BR = 8
+    SB = 24
     v_hi_i = v_lo_i + n_rows
     b_lo = v_lo_i // BR
     n_blocks = jnp.where(n_rows > 0, (v_hi_i - 1) // BR - b_lo + 1, 0)

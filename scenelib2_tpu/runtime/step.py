@@ -712,7 +712,10 @@ def _auto_initialise(state: SlamState, frame_u8, cam: CameraParams, params: Para
         # safe box, occupancy projections, drand48 draws, region tries,
         # Shi-Tomasi) as ONE kernel — it was ~500 compiled ops of mostly
         # scalar math (pallas_propose.py; op-for-op f32 mirror, verified
-        # against this XLA chain in tests/test_pallas_propose.py)
+        # against this XLA chain in tests/test_pallas_propose.py). Running it
+        # for batch lanes too was measured a wash (16725 vs 16882 aggregate
+        # fps, decisions identical): the vmapped XLA chain already amortizes
+        # its op count across 64 lanes — batch keeps the XLA form.
         from scenelib2_tpu.kernels.pallas_propose import pallas_propose_init
         from scenelib2_tpu.kernels.pallas_shi_tomasi import (
             pallas_shi_tomasi_region,
