@@ -39,7 +39,10 @@ def _round_up(x: int, m: int) -> int:
 # taller bands fall through to the next tier / the full window. Converged
 # features sit at halfheight 3-10 px (the R >= sd^2 noise floor makes
 # halfheight >= 3), so the 32-row tier (22 output rows) is the steady state
-# and the 48-row tier catches mid-convergence ellipses.
+# and the 48-row tier catches mid-convergence ellipses. A tier only exists
+# where its slab is meaningfully smaller than the window (<= 0.7*pad_v).
+# (A 64-row tier for hires-class windows measured a wash — 143.9 vs 144.0
+# us/frame — and is not kept.)
 _SLABS = (32, 48)
 
 
@@ -168,7 +171,7 @@ def _search_body(smem_ref, win, out_ref, *, side_v, side_u,
     kw = dict(side_v=side_v, side_u=side_u, boxsize=boxsize,
               no_sigma=no_sigma, corr_sigma_thresh=corr_sigma_thresh,
               pad_u=pad_u, W=W, H=H)
-    slabs = [s for s in _SLABS if s + 8 < pad_v]
+    slabs = [s for s in _SLABS if s <= 0.7 * pad_v]
     if not slabs:
         # window too small for the tiered split to pay
         best, kbest, over = _score_and_select(

@@ -477,3 +477,47 @@ def test_pallas_tier_boundaries_match_xla(scene, rng):
         if bool(res.found[k]):
             assert (int(u_p[k]), int(v_p[k])) == (int(res.u[k]), int(res.v[k])), k
         assert bool(over_p[k]) == bool(res.overflow[k]), k
+
+
+def test_pallas_tier64_matches_xla(rng):
+    """hires-class windows (pad_v 112): ellipse heights across the tier
+    boundaries and beyond must agree with the XLA search exactly."""
+    img = rng.integers(0, 256, size=(200, 160), dtype=np.uint8)
+    Hh, W = img.shape
+    WR = 48
+    cases = []
+    for hh_t in (5, 12, 18, 22, 26, 40):
+        c = (3.0 / (hh_t + 0.5)) ** 2
+        for centre in ([80.0, 100.0], [80.0, 12.0], [80.0, 188.0]):
+            cases.append((centre, np.array([[0.05, 0.0], [0.0, c]])))
+    centres = np.array([c for c, _ in cases])
+    sinvs = np.stack([s for _, s in cases])
+    K = len(cases)
+    patches = np.stack(
+        [img[20 + (3 * k) % 100 : 31 + (3 * k) % 100, 30:41] for k in range(K)]
+    )
+    active = np.ones(K, bool)
+
+    h = jnp.asarray(centres, jnp.float64)
+    u0, v0, _, _ = correlate.search_window_origin(h, WR, W, Hh, B, round_half=True)
+    wins = gather_windows_u8(jnp.asarray(img), u0, v0, WR, B)
+    found_p, u_p, v_p, best_p, over_p = pallas_elliptical_search(
+        wins, jnp.asarray(patches), u0, v0, h,
+        jnp.asarray(sinvs), jnp.asarray(active),
+        image_shape=(Hh, W), boxsize=B, win_radius=WR, interpret=True,
+    )
+
+    fsums = correlate.frame_sums(jnp.asarray(img), B)
+    cross = correlate.cross_sum_windows(
+        jnp.asarray(img), jnp.asarray(patches), u0, v0, WR, B
+    )
+    sg0, sg0sq = correlate.patch_stats(jnp.asarray(patches))
+    res = correlate.elliptical_search_batch(
+        fsums, cross, sg0, sg0sq, u0, v0, h, jnp.asarray(sinvs),
+        jnp.asarray(active), B, win_radius=WR,
+    )
+    np.testing.assert_array_equal(np.asarray(found_p), np.asarray(res.found))
+    for k in range(K):
+        if bool(res.found[k]):
+            assert (int(u_p[k]), int(v_p[k])) == (int(res.u[k]), int(res.v[k])), k
+        assert bool(over_p[k]) == bool(res.overflow[k]), k
