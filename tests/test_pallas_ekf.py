@@ -295,3 +295,78 @@ def test_compact_update_bookkeeping(rng):
         np.testing.assert_array_equal(np.asarray(got_suc), np.asarray(suc2))
         np.testing.assert_array_equal(np.asarray(got_x), np.asarray(want_x))
         np.testing.assert_array_equal(np.asarray(got_P), np.asarray(want_P))
+
+
+def test_compact_update_bookkeeping_large_mf(rng):
+    """In-kernel bookkeeping at the hires scale (MF=60, D=373, TD=384):
+    the 128-lane rank/permutation machinery must match the XLA chain with
+    many interacting scheduled runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from scenelib2_tpu.kernels import pallas_measure as pm
+    from scenelib2_tpu.kernels.pallas_ekf import pallas_joint_update_norm_compact
+
+    MF, NSEL = 60, 10
+    D = CAM_DIM + SLOT_DIM * MF
+    MINA, FRAC = 10, 0.5
+
+    P = np.eye(D) * 1e-3
+    x = rng.normal(size=D).astype(np.float64) * 0.1
+    x[3:7] = rng.normal(size=4)
+    x[3:7] /= np.linalg.norm(x[3:7]) * (1.0 + 1e-3)
+    sel = np.zeros((pm.NOUT, NSEL), np.float32)
+    sel[pm.O_RD] = 1.0
+    z = rng.uniform(20, 200, (NSEL, 2)).astype(np.float32)
+    sel[pm.O_H : pm.O_H + 2] = z.T
+
+    active = np.ones(MF, bool)
+    active[rng.choice(MF, 10, replace=False)] = False
+    sel_mask = np.ones(NSEL, bool)
+    succ = rng.uniform(size=NSEL) > 0.5
+    top_idx = rng.choice(np.nonzero(active)[0], NSEL, replace=False).astype(np.int32)
+    offs = CAM_DIM + SLOT_DIM * top_idx
+    # force long runs of consecutively-scheduled features so the run-parity
+    # closed form has real work (kill every other position within runs)
+    attempts = np.where(active, 12, 0).astype(np.int32)
+    successes = np.where(rng.uniform(size=MF) > 0.55, 12, 2).astype(np.int32) * active
+    sched = (rng.uniform(size=MF) > 0.5) & active
+    label = np.where(active, rng.permutation(MF).astype(np.int32), -1)
+
+    att2 = jnp.asarray(attempts).at[jnp.asarray(top_idx)].add(
+        jnp.asarray(sel_mask, jnp.int32))
+    suc2 = jnp.asarray(successes).at[jnp.asarray(top_idx)].add(
+        jnp.asarray(succ, jnp.int32))
+    ratio = jnp.where(att2 > 0, suc2.astype(jnp.float32) / att2.astype(jnp.float32), 1.0)
+    bad = jnp.asarray(active) & (att2 >= MINA) & (ratio < FRAC)
+    sched1 = (jnp.asarray(sched) | bad) & jnp.asarray(active)
+    pos = jnp.arange(MF, dtype=jnp.int32)
+    order = jnp.argsort(jnp.where(jnp.asarray(active), jnp.asarray(label),
+                                  jnp.int32(1 << 30)))
+    S = sched1[order]
+    run_start = jax.lax.cummax(jnp.where(S, 0, pos + 1))
+    kill_pos = S & ((pos - run_start) % 2 == 0)
+    want_kill = np.asarray(jnp.zeros(MF, bool).at[order].set(kill_pos))
+    want_sched = np.asarray(sched1 & ~jnp.asarray(want_kill))
+    assert want_kill.sum() >= 3   # the scenario must actually exercise kills
+
+    got = pallas_joint_update_norm_compact(
+        jnp.asarray(x), jnp.asarray(P), jnp.asarray(sel), jnp.asarray(z),
+        jnp.asarray(succ), jnp.asarray(offs), None,
+        meas_rows=(pm.O_HX, pm.O_HY, pm.O_RD, pm.O_H), interpret=True,
+        bookkeeping=(
+            jnp.asarray(attempts), jnp.asarray(successes),
+            jnp.asarray(sched), jnp.asarray(active), jnp.asarray(label),
+        ),
+        sel_mask=jnp.asarray(sel_mask), top_idx=jnp.asarray(top_idx),
+        mina=float(MINA), frac=float(FRAC),
+    )
+    _x_out, P_out, got_att, got_suc, got_sched, got_kill = got
+    np.testing.assert_array_equal(np.asarray(got_kill), want_kill)
+    np.testing.assert_array_equal(np.asarray(got_sched), want_sched)
+    np.testing.assert_array_equal(np.asarray(got_att), np.asarray(att2))
+    np.testing.assert_array_equal(np.asarray(got_suc), np.asarray(suc2))
+    # killed slots' dims zeroed in the D=373 multi-tile P
+    for i in np.nonzero(want_kill)[0]:
+        o = CAM_DIM + SLOT_DIM * i
+        assert np.all(np.asarray(P_out)[o : o + SLOT_DIM, :] == 0.0)
